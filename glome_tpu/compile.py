@@ -1,0 +1,556 @@
+"""Scene compiler: flatten the solid DAG into struct-of-array tables.
+
+This is the central architecture translation (SURVEY.md section 7.1):
+the reference dispatches a recursive `rayint` over a polymorphic DAG
+(Solid.hs:138-254); we walk the DAG once on the host and emit, per
+primitive type, dense parameter arrays plus per-prim metadata:
+
+  - a transform id / baked parameters (Instance merging, Solid.hs:494),
+  - the static texture and tag stacks accumulated from Tex/Tag wrappers
+    (Tex.hs:54,66 push them during traversal -- here they are constants
+    of the scene structure, so we precompute them per prim),
+  - shadow-control flags (Tex.hs:81,89),
+  - CSG membership: each Difference/Intersection becomes a set of
+    *clauses*; a point is inside the CSG solid iff every clause is
+    satisfied, where a clause is IN(set) for intersection members /
+    difference-A and NOT IN(set) for difference-B (Csg.hs:92-101).
+
+Warp materials (portals) reference other solids as whole scenes; each
+distinct frame/target solid is compiled as an additional PackedScene in
+the same CompiledScene so the tracer can statically recurse between
+scenes (Shader.hs:157-175).
+
+The float arrays live in a separate pytree (see `CompiledScene.arrays`)
+so they can be jit inputs and differentiation targets; everything else
+is static Python structure closed over by the tracer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import solids as S
+from . import xfm as X
+from .materials import (AdditiveLayers, Blend, BlendFn, Light, Material,
+                        Reflect, Refract, Surface, Texture, Uniform, Warp)
+
+TEX_DEPTH = 4
+TAG_DEPTH = 4
+
+# primitive type tags (group order is irrelevant; kernels dispatch on this)
+PTYPES = ("sphere", "plane", "box", "triangle", "trianglenorm", "disc",
+          "cylinder", "cone")
+
+
+@dataclasses.dataclass
+class PrimGroup:
+    """A homogeneous batch of primitives of one type.
+
+    `params` maps field name -> (P, ...) float64 array.  If `m_inv` is
+    not None the group is traced in object space through the per-prim
+    inverse matrices (rayint_instance semantics, Solid.hs:388-403).
+    """
+    ptype: str
+    params: Dict[str, np.ndarray]
+    m_fwd: Optional[np.ndarray]
+    m_inv: Optional[np.ndarray]
+    tex_stack: np.ndarray      # (P, TEX_DEPTH) int32, innermost first, -1 pad
+    tag_stack: np.ndarray      # (P, TAG_DEPTH) int32
+    local_tex_stack: np.ndarray  # stacks below the enclosing CSG node
+    local_tag_stack: np.ndarray
+    noshadow: np.ndarray       # (P,) bool
+    onlyshadow: np.ndarray
+    csg_id: np.ndarray         # (P,) int32, -1 = plain
+    csg_clause: np.ndarray     # (P,) int32
+    prim_serial: np.ndarray    # (P,) int32 global id (picking / debug)
+
+    @property
+    def size(self):
+        return int(self.prim_serial.shape[0])
+
+
+@dataclasses.dataclass
+class CsgClause:
+    positive: bool
+    # prim references after packing: list of (group_index, local_indices)
+    members: List[Tuple[int, np.ndarray]]
+    member_serials: List[int]
+
+
+@dataclasses.dataclass
+class CsgObject:
+    clauses: List[CsgClause]
+    useatex: bool
+    kind: str  # 'difference' | 'intersection'
+
+
+@dataclasses.dataclass
+class PackedScene:
+    groups: List[PrimGroup]
+    csgs: List[CsgObject]
+
+
+@dataclasses.dataclass
+class WarpInfo:
+    material: Warp
+    frame_scene: int
+    target_scene: int
+    lights: Tuple[Light, ...]
+    xfm: X.Xfm
+
+
+@dataclasses.dataclass
+class CompiledScene:
+    scenes: List[PackedScene]
+    textures: List[Texture]
+    refract_mats: List[Refract]
+    warp_mats: List[WarpInfo]
+    # texture id -> set of refract/warp material indices it can evaluate
+    tex_refracts: List[frozenset]
+    tex_warps: List[frozenset]
+    has_reflect: bool
+    tag_names: List[Any]
+    lights: Tuple[Light, ...]
+
+    def arrays(self, dtype=np.float32):
+        """The differentiable / device-side pytree of scene arrays."""
+        out = []
+        for sc in self.scenes:
+            groups = []
+            for g in sc.groups:
+                ga = {k: np.asarray(v, dtype=dtype) for k, v in g.params.items()}
+                if g.m_inv is not None:
+                    ga["m_inv"] = np.asarray(g.m_inv, dtype=dtype)
+                    ga["m_fwd"] = np.asarray(g.m_fwd, dtype=dtype)
+                groups.append(ga)
+            out.append(groups)
+        lights = {
+            "pos": np.asarray([l.pos for l in self.lights], dtype=dtype).reshape(-1, 3),
+            "color": np.asarray([l.color for l in self.lights], dtype=dtype).reshape(-1, 3),
+            "radius": np.asarray([l.radius for l in self.lights], dtype=dtype).reshape(-1),
+        }
+        return {"scenes": out, "lights": lights}
+
+
+@dataclasses.dataclass
+class _Ctx:
+    xfm: X.Xfm
+    texs: Tuple[int, ...] = ()
+    tags: Tuple[int, ...] = ()
+    noshadow: bool = False
+    onlyshadow: bool = False
+    csg: Optional[Tuple[int, int]] = None  # (csg_id, clause_id)
+    csg_outer_texs: int = 0   # length of tex stack outside the CSG node
+    csg_outer_tags: int = 0
+
+
+class _PrimRecord:
+    __slots__ = ("serial", "ptype", "params", "fwd", "inv", "texs", "tags",
+                 "ltexs", "ltags", "noshadow", "onlyshadow", "csg_id",
+                 "clause_id")
+
+    def __init__(self, serial, ptype, params, fwd, inv, ctx: _Ctx):
+        self.serial = serial
+        self.ptype = ptype
+        self.params = params
+        self.fwd = fwd
+        self.inv = inv
+        self.texs = ctx.texs
+        self.tags = ctx.tags
+        if ctx.csg is not None:
+            self.ltexs = ctx.texs[:max(0, len(ctx.texs) - ctx.csg_outer_texs)]
+            self.ltags = ctx.tags[:max(0, len(ctx.tags) - ctx.csg_outer_tags)]
+            self.csg_id, self.clause_id = ctx.csg
+        else:
+            self.ltexs = ()
+            self.ltags = ()
+            self.csg_id, self.clause_id = -1, -1
+        self.noshadow = ctx.noshadow
+        self.onlyshadow = ctx.onlyshadow
+
+
+class _SceneBuild:
+    def __init__(self):
+        self.prims: List[_PrimRecord] = []
+        self.csgs: List[Tuple[str, bool, List[List[int]], List[bool]]] = []
+        # each csg: (kind, useatex, clause member serial lists, clause signs)
+
+
+class Compiler:
+    def __init__(self):
+        self.scenes: List[_SceneBuild] = []
+        self._scene_ids: Dict[int, int] = {}
+        self.textures: List[Texture] = []
+        self._tex_ids: Dict[Any, int] = {}
+        self.tags: List[Any] = []
+        self._tag_ids: Dict[Any, int] = {}
+        self.refract_mats: List[Refract] = []
+        self.warp_mats: List[WarpInfo] = []
+        self._warp_ids: Dict[int, int] = {}
+        self.has_reflect = False
+        self._serial = 0
+
+    # -- interning --------------------------------------------------------
+
+    def tex_id(self, t: Texture) -> int:
+        if t in self._tex_ids:
+            return self._tex_ids[t]
+        tid = len(self.textures)
+        self.textures.append(t)
+        self._tex_ids[t] = tid
+        self._scan_texture(t)
+        return tid
+
+    def tag_id(self, t) -> int:
+        if t in self._tag_ids:
+            return self._tag_ids[t]
+        tid = len(self.tags)
+        self.tags.append(t)
+        self._tag_ids[t] = tid
+        return tid
+
+    def _scan_texture(self, t: Texture):
+        if isinstance(t, Uniform):
+            self._scan_material(t.material)
+        elif isinstance(t, BlendFn):
+            self._scan_material(t.m1)
+            self._scan_material(t.m2)
+        else:
+            raise TypeError(f"unknown texture {type(t)}")
+
+    def _scan_material(self, m: Material):
+        if isinstance(m, Surface):
+            return
+        if isinstance(m, Reflect):
+            self.has_reflect = True
+            return
+        if isinstance(m, Refract):
+            if m not in self.refract_mats:
+                self.refract_mats.append(m)
+            return
+        if isinstance(m, Warp):
+            if id(m) not in self._warp_ids:
+                frame_id = self.compile_scene_solid(m.frame)
+                target_id = (0 if m.scene is None
+                             else self.compile_scene_solid(m.scene))
+                self._warp_ids[id(m)] = len(self.warp_mats)
+                self.warp_mats.append(WarpInfo(m, frame_id, target_id,
+                                               tuple(m.lights), m.xfm))
+            return
+        if isinstance(m, AdditiveLayers):
+            for sub in m.layers:
+                self._scan_material(sub)
+            return
+        if isinstance(m, Blend):
+            self._scan_material(m.m1)
+            self._scan_material(m.m2)
+            return
+        raise TypeError(f"unknown material {type(m)}")
+
+    # -- scene walking ----------------------------------------------------
+
+    def compile_scene_solid(self, solid: S.Solid) -> int:
+        key = id(solid)
+        if key in self._scene_ids:
+            return self._scene_ids[key]
+        sid = len(self.scenes)
+        self._scene_ids[key] = sid
+        build = _SceneBuild()
+        self.scenes.append(build)
+        self._walk(build, solid, _Ctx(xfm=X.IDENT))
+        return sid
+
+    def _emit(self, build, ptype, params, ctx: _Ctx, fwd=None, inv=None):
+        rec = _PrimRecord(self._serial, ptype, params, fwd, inv, ctx)
+        self._serial += 1
+        build.prims.append(rec)
+        if ctx.csg is not None:
+            cid, clause = ctx.csg
+            build.csgs[cid][2][clause].append(rec.serial)
+        return rec
+
+    def _walk(self, build: _SceneBuild, node: S.Solid, ctx: _Ctx):
+        xf = ctx.xfm
+        ident = xf.is_identity()
+
+        if isinstance(node, S.Void):
+            return
+        if isinstance(node, S.Sphere):
+            if ident:
+                self._emit(build, "sphere",
+                           {"center": node.center, "radius": node.radius}, ctx)
+            else:
+                s = xf.uniform_scale()
+                if s is not None:
+                    self._emit(build, "sphere",
+                               {"center": xf.point(node.center),
+                                "radius": node.radius * s}, ctx)
+                else:
+                    self._emit(build, "sphere",
+                               {"center": node.center, "radius": node.radius},
+                               ctx, fwd=xf.fwd, inv=xf.inv)
+            return
+        if isinstance(node, S.Plane):
+            if ident:
+                self._emit(build, "plane",
+                           {"norm": node.norm, "offset": node.offset}, ctx)
+            else:
+                nw = xf.inv_normal(node.norm)
+                nw = nw / np.linalg.norm(nw)
+                p0 = xf.point(np.asarray(node.norm) * node.offset)
+                self._emit(build, "plane",
+                           {"norm": nw, "offset": float(nw @ p0)}, ctx)
+            return
+        if isinstance(node, S.Box):
+            if ident:
+                self._emit(build, "box",
+                           {"bmin": node.bmin, "bmax": node.bmax}, ctx)
+            elif xf.is_axis_aligned():
+                c1, c2 = xf.point(node.bmin), xf.point(node.bmax)
+                self._emit(build, "box",
+                           {"bmin": np.minimum(c1, c2),
+                            "bmax": np.maximum(c1, c2)}, ctx)
+            else:
+                self._emit(build, "box",
+                           {"bmin": node.bmin, "bmax": node.bmax},
+                           ctx, fwd=xf.fwd, inv=xf.inv)
+            return
+        if isinstance(node, S.Triangle):
+            # always baked (reference transform_triangle, Triangle.hs:164-168)
+            self._emit(build, "triangle",
+                       {"p1": xf.point(node.p1), "p2": xf.point(node.p2),
+                        "p3": xf.point(node.p3)}, ctx)
+            return
+        if isinstance(node, S.TriangleNorm):
+            def nrm(n):
+                v = xf.vector(n)  # reference uses forward xfm_vec
+                return v / np.linalg.norm(v)
+            self._emit(build, "trianglenorm",
+                       {"p1": xf.point(node.p1), "p2": xf.point(node.p2),
+                        "p3": xf.point(node.p3),
+                        "n1": nrm(node.n1), "n2": nrm(node.n2),
+                        "n3": nrm(node.n3)}, ctx)
+            return
+        if isinstance(node, S.Disc):
+            if ident:
+                self._emit(build, "disc",
+                           {"pos": node.pos, "norm": node.norm,
+                            "rsqr": node.radius_sqr}, ctx)
+            else:
+                s = xf.uniform_scale()
+                if s is not None:
+                    nw = xf.inv_normal(node.norm)
+                    nw = nw / np.linalg.norm(nw)
+                    self._emit(build, "disc",
+                               {"pos": xf.point(node.pos), "norm": nw,
+                                "rsqr": node.radius_sqr * s * s}, ctx)
+                else:
+                    self._emit(build, "disc",
+                               {"pos": node.pos, "norm": node.norm,
+                                "rsqr": node.radius_sqr},
+                               ctx, fwd=xf.fwd, inv=xf.inv)
+            return
+        if isinstance(node, S.CylinderZ):
+            kw = {} if ident else {"fwd": xf.fwd, "inv": xf.inv}
+            self._emit(build, "cylinder",
+                       {"radius": node.radius, "h1": node.h1, "h2": node.h2},
+                       ctx, **kw)
+            return
+        if isinstance(node, S.ConeZ):
+            kw = {} if ident else {"fwd": xf.fwd, "inv": xf.inv}
+            self._emit(build, "cone",
+                       {"radius": node.radius, "clip1": node.clip1,
+                        "clip2": node.clip2, "height": node.height},
+                       ctx, **kw)
+            return
+
+        if isinstance(node, (S.Group, S.BihMarker)):
+            for it in node.items:
+                self._walk(build, it, ctx)
+            return
+        if isinstance(node, S.Instance):
+            self._walk(build, node.item,
+                       dataclasses.replace(ctx, xfm=X.xfm_mult(xf, node.xfm)))
+            return
+        if isinstance(node, S.Tex):
+            tid = self.tex_id(node.texture)
+            self._walk(build, node.item,
+                       dataclasses.replace(ctx, texs=(tid,) + ctx.texs))
+            return
+        if isinstance(node, S.Tag):
+            tid = self.tag_id(node.tag)
+            self._walk(build, node.item,
+                       dataclasses.replace(ctx, tags=(tid,) + ctx.tags))
+            return
+        if isinstance(node, S.NoShadow):
+            self._walk(build, node.item,
+                       dataclasses.replace(ctx, noshadow=True))
+            return
+        if isinstance(node, S.OnlyShadow):
+            self._walk(build, node.item,
+                       dataclasses.replace(ctx, onlyshadow=True))
+            return
+        if isinstance(node, S.Bound):
+            # the global BVH subsumes manual bounds (Bound.hs:69-74)
+            self._walk(build, node.item, ctx)
+            return
+        if isinstance(node, S.Mesh):
+            self._walk_mesh(build, node, ctx)
+            return
+        if isinstance(node, S.Difference):
+            if ctx.csg is not None:
+                raise NotImplementedError("nested CSG is not supported yet")
+            cid = len(build.csgs)
+            build.csgs.append(("difference", node.useatex, [[], []],
+                              [True, False]))
+            base = dataclasses.replace(ctx, csg_outer_texs=len(ctx.texs),
+                                       csg_outer_tags=len(ctx.tags))
+            self._walk(build, node.a, dataclasses.replace(base, csg=(cid, 0)))
+            self._walk(build, node.b, dataclasses.replace(base, csg=(cid, 1)))
+            return
+        if isinstance(node, S.Intersection):
+            if ctx.csg is not None:
+                raise NotImplementedError("nested CSG is not supported yet")
+            cid = len(build.csgs)
+            build.csgs.append(("intersection", False,
+                              [[] for _ in node.items],
+                              [True] * len(node.items)))
+            base = dataclasses.replace(ctx, csg_outer_texs=len(ctx.texs),
+                                       csg_outer_tags=len(ctx.tags))
+            for i, it in enumerate(node.items):
+                self._walk(build, it, dataclasses.replace(base, csg=(cid, i)))
+            return
+        raise TypeError(f"unknown solid {type(node)}")
+
+    def _walk_mesh(self, build, node: S.Mesh, ctx: _Ctx):
+        """Expand a mesh into baked triangles.  Per-tri textures/tags push
+        onto the surrounding stacks (Mesh.hs:148-153); mesh triangles do
+        not cast shadows in the reference (Mesh.hs:210)."""
+        xf = ctx.xfm
+        tex_ids = [self.tex_id(t) for t in node.textures]
+        tag_ids = [self.tag_id(t) for t in node.tags]
+        ctx = dataclasses.replace(ctx, noshadow=True)
+        for row in node.tris:
+            v0, v1, v2, n0, n1, n2, ti, gi = (int(v) for v in row)
+            c = ctx
+            if ti >= 0:
+                c = dataclasses.replace(c, texs=(tex_ids[ti],) + c.texs)
+            if gi >= 0:
+                c = dataclasses.replace(c, tags=(tag_ids[gi],) + c.tags)
+            if n0 >= 0:
+                def nrm(n):
+                    v = xf.vector(node.norms[n])
+                    return v / np.linalg.norm(v)
+                self._emit(build, "trianglenorm",
+                           {"p1": xf.point(node.verts[v0]),
+                            "p2": xf.point(node.verts[v1]),
+                            "p3": xf.point(node.verts[v2]),
+                            "n1": nrm(n0), "n2": nrm(n1), "n3": nrm(n2)}, c)
+            else:
+                self._emit(build, "triangle",
+                           {"p1": xf.point(node.verts[v0]),
+                            "p2": xf.point(node.verts[v1]),
+                            "p3": xf.point(node.verts[v2])}, c)
+
+    # -- packing ----------------------------------------------------------
+
+    def pack(self, lights: Sequence[Light]) -> CompiledScene:
+        packed_scenes = []
+        serial_loc: Dict[int, Tuple[int, int, int]] = {}
+        for si, build in enumerate(self.scenes):
+            groups: Dict[Tuple[str, bool], List[_PrimRecord]] = {}
+            for rec in build.prims:
+                key = (rec.ptype, rec.inv is not None)
+                groups.setdefault(key, []).append(rec)
+            glist = []
+            for (ptype, has_m), recs in sorted(groups.items()):
+                gi = len(glist)
+                P = len(recs)
+                pnames = recs[0].params.keys()
+                params = {}
+                for name in pnames:
+                    params[name] = np.stack(
+                        [np.asarray(r.params[name], dtype=np.float64)
+                         for r in recs])
+                def stack_ids(vals, depth):
+                    out = np.full((P, depth), -1, dtype=np.int32)
+                    for i, v in enumerate(vals):
+                        v = v[:depth]
+                        out[i, :len(v)] = v
+                    return out
+                g = PrimGroup(
+                    ptype=ptype,
+                    params=params,
+                    m_fwd=(np.stack([r.fwd for r in recs]) if has_m else None),
+                    m_inv=(np.stack([r.inv for r in recs]) if has_m else None),
+                    tex_stack=stack_ids([r.texs for r in recs], TEX_DEPTH),
+                    tag_stack=stack_ids([r.tags for r in recs], TAG_DEPTH),
+                    local_tex_stack=stack_ids([r.ltexs for r in recs], TEX_DEPTH),
+                    local_tag_stack=stack_ids([r.ltags for r in recs], TAG_DEPTH),
+                    noshadow=np.array([r.noshadow for r in recs], dtype=bool),
+                    onlyshadow=np.array([r.onlyshadow for r in recs], dtype=bool),
+                    csg_id=np.array([r.csg_id for r in recs], dtype=np.int32),
+                    csg_clause=np.array([r.clause_id for r in recs], dtype=np.int32),
+                    prim_serial=np.array([r.serial for r in recs], dtype=np.int32),
+                )
+                glist.append(g)
+                for li, r in enumerate(recs):
+                    serial_loc[r.serial] = (si, gi, li)
+            csgs = []
+            for kind, useatex, clause_serials, signs in build.csgs:
+                clauses = []
+                for serials, positive in zip(clause_serials, signs):
+                    bygroup: Dict[int, List[int]] = {}
+                    for s0 in serials:
+                        _, gi, li = serial_loc[s0]
+                        bygroup.setdefault(gi, []).append(li)
+                    members = [(gi, np.asarray(lis, dtype=np.int32))
+                               for gi, lis in sorted(bygroup.items())]
+                    clauses.append(CsgClause(positive, members, list(serials)))
+                csgs.append(CsgObject(clauses, useatex, kind))
+            packed_scenes.append(PackedScene(glist, csgs))
+
+        # per-texture reachable refract/warp material indices (for masking
+        # secondary traces)
+        tex_refracts, tex_warps = [], []
+        for t in self.textures:
+            refr, warp = set(), set()
+            mats = ([t.material] if isinstance(t, Uniform) else [t.m1, t.m2])
+            def visit(m):
+                if isinstance(m, Refract):
+                    refr.add(self.refract_mats.index(m))
+                elif isinstance(m, Warp):
+                    warp.add(self._warp_ids[id(m)])
+                elif isinstance(m, AdditiveLayers):
+                    for sub in m.layers:
+                        visit(sub)
+                elif isinstance(m, Blend):
+                    visit(m.m1)
+                    visit(m.m2)
+            for m in mats:
+                visit(m)
+            tex_refracts.append(frozenset(refr))
+            tex_warps.append(frozenset(warp))
+
+        return CompiledScene(
+            scenes=packed_scenes,
+            textures=list(self.textures),
+            refract_mats=list(self.refract_mats),
+            warp_mats=list(self.warp_mats),
+            tex_refracts=tex_refracts,
+            tex_warps=tex_warps,
+            has_reflect=self.has_reflect,
+            tag_names=list(self.tags),
+            lights=tuple(lights),
+        )
+
+
+def compile_scene(solid: S.Solid, lights: Sequence[Light] = ()) -> CompiledScene:
+    """Compile a solid DAG (+ lights) into flattened SoA tables."""
+    c = Compiler()
+    root = c.compile_scene_solid(solid)
+    assert root == 0
+    return c.pack(lights)

@@ -1,0 +1,60 @@
+"""Global configuration for the glome-tpu renderer.
+
+The reference (jimsnow/glome) hard-codes all of these as compile-time
+constants; see GlomeView/Glome.hs:25,112-116,221-224 and
+GlomeVec/Data/Glome/Vec.hs:14,40.  We expose them as a dataclass so a
+single scene/render config can be threaded through jitted code as
+static metadata.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+# Sentinel "infinity" used for miss distances (reference: Vec.hs:14).
+INFINITY = 1.0e6
+
+# Geometric tuning epsilon (reference: Vec.hs:40).
+DELTA = 1.0e-4
+
+# pi as used by the reference's deg() (Vec.hs:18).
+PI = 3.1415926535897
+
+
+def deg(x):
+    """Degrees -> radians (reference Vec.hs:17-18)."""
+    return (x * PI) / 180.0
+
+
+def rot(x):
+    """Rotations -> radians; rot 1 == 360 degrees (reference Vec.hs:25-26)."""
+    return x * PI * 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Render-time knobs.
+
+    Defaults mirror the reference executable:
+      - xres/yres:   Glome.hs:112-113
+      - maxdepth:    Glome.hs:25
+      - blocksize:   Glome.hs:116 (tile size for adaptive AA)
+      - thresholds:  Glome.hs:221-224 (adaptive AA variance thresholds)
+    """
+
+    xres: int = 720
+    yres: int = 480
+    maxdepth: int = 3
+    blocksize: int = 65
+    thresholds: Tuple[float, float, float, float] = (0.14, 0.15, 0.16, 0.18)
+    # Direct illumination in the reference scales the *light* color only;
+    # the surface color modulates just the ambient term (Shader.hs:90-102).
+    # Set True for the more conventional albedo-modulated diffuse.
+    modulate_diffuse: bool = False
+    # Queue capacity factors for compacted secondary-ray passes, as a
+    # fraction of the primary ray count per depth level.
+    secondary_capacity: float = 1.0
+
+
+DEFAULT_CONFIG = RenderConfig()

@@ -1,0 +1,348 @@
+"""Vectorized ray-scene intersection with CSG clause semantics.
+
+This replaces the reference's polymorphic recursive `rayint` dispatch
+(Solid.hs:146, Csg.hs:33-90) with data-parallel passes over the packed
+SoA prim groups from compile.py:
+
+  - every primitive yields up to two boundary-crossing candidates
+    (geom.py *_hits2);
+  - plain prims use standard nearest-hit semantics (entry if t>0 else
+    exit, matching each reference rayint_*);
+  - CSG prims keep both candidates and filter them by *clause validity*:
+    a candidate on prim p of CSG object G is a visible surface of G iff
+    every other clause of G is satisfied at the hit point, and -- for
+    difference-B (negative clause) candidates -- the ray is exiting the
+    clause set (Csg.hs:38: `inside sa bp && not (inside sb (bp+delta*dir))`);
+  - difference-B winners with `useatex` are retextured from the first
+    containing A member (get_metainfo semantics, Csg.hs:39-41).
+
+All loops over groups/chunks/clauses are static Python; the emitted
+program is pure vector code.  Memory is bounded by chunking the prim
+axis; callers bound the ray axis.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import geom
+from .compile import CompiledScene, PackedScene, PrimGroup, TEX_DEPTH, TAG_DEPTH
+from .config import DELTA, INFINITY
+from .vec import vnorm, vscaleadd
+from .xfm import apply_point, apply_vector, apply_normal_T
+
+PRIM_CHUNK = 4096
+
+
+class Hit(NamedTuple):
+    """Per-ray nearest-hit record (the reference Rayint, Solid.hs:20-28)."""
+    t: jnp.ndarray          # (N,) world distance; INFINITY = miss
+    hit: jnp.ndarray        # (N,) bool
+    pos: jnp.ndarray        # (N, 3)
+    norm: jnp.ndarray       # (N, 3)
+    obj_o: jnp.ndarray      # (N, 3) object-space ray (riray for Warp)
+    obj_d: jnp.ndarray      # (N, 3)
+    tex_stack: jnp.ndarray  # (N, TEX_DEPTH) texture ids, innermost first
+    tag_stack: jnp.ndarray  # (N, TAG_DEPTH) tag ids
+    prim_serial: jnp.ndarray  # (N,) global prim id, -1 = miss
+
+
+def _kernel_hits2(ptype, params, o, d):
+    if ptype == "sphere":
+        return geom.sphere_hits2(params["center"], params["radius"], o, d)
+    if ptype == "plane":
+        return geom.plane_hits2(params["norm"], params["offset"], o, d)
+    if ptype == "box":
+        return geom.box_hits2(params["bmin"], params["bmax"], o, d)
+    if ptype == "triangle":
+        return geom.triangle_hits2(params["p1"], params["p2"], params["p3"], o, d)
+    if ptype == "trianglenorm":
+        return geom.trianglenorm_hits2(params["p1"], params["p2"], params["p3"],
+                                       params["n1"], params["n2"], params["n3"],
+                                       o, d)
+    if ptype == "disc":
+        return geom.disc_hits2(params["pos"], params["norm"], params["rsqr"], o, d)
+    if ptype == "cylinder":
+        return geom.cylinder_hits2(params["radius"], params["h1"], params["h2"], o, d)
+    if ptype == "cone":
+        return geom.cone_hits2(params["radius"], params["clip1"],
+                               params["clip2"], params["height"], o, d)
+    raise ValueError(ptype)
+
+
+def _kernel_inside(ptype, params, p):
+    if ptype == "sphere":
+        return geom.sphere_inside(params["center"], params["radius"], p)
+    if ptype == "plane":
+        return geom.plane_inside(params["norm"], params["offset"], p)
+    if ptype == "box":
+        return geom.box_inside(params["bmin"], params["bmax"], p)
+    if ptype in ("triangle", "trianglenorm", "disc"):
+        return jnp.zeros(p.shape[:-1], dtype=bool)
+    if ptype == "cylinder":
+        return geom.cylinder_inside(params["radius"], params["h1"], params["h2"], p)
+    if ptype == "cone":
+        return geom.cone_inside(params["radius"], params["clip1"],
+                                params["clip2"], params["height"], p)
+    raise ValueError(ptype)
+
+
+def _slice_params(garr, g: PrimGroup, sl):
+    """Static chunk slice of a group's parameter arrays, expanded for
+    broadcasting against a leading ray axis."""
+    out = {}
+    for k, v in garr.items():
+        if k in ("m_inv", "m_fwd"):
+            continue
+        out[k] = v[sl]
+    return out
+
+
+def group_inside(scene_static: PackedScene, garrs, gi: int, idx: np.ndarray,
+                 pts, chunk=PRIM_CHUNK):
+    """Inside test of member prims (group gi, static local indices idx) at
+    points pts (..., 3).  Returns (..., len(idx)) bools."""
+    g = scene_static.groups[gi]
+    ga = garrs[gi]
+    outs = []
+    for s in range(0, len(idx), chunk):
+        sub = idx[s:s + chunk]
+        params = {k: v[sub] for k, v in ga.items()
+                  if k not in ("m_inv", "m_fwd")}
+        p = pts[..., None, :]
+        if g.m_inv is not None:
+            minv = ga["m_inv"][sub]
+            p = apply_point(minv, p)
+        outs.append(_kernel_inside(g.ptype, params, p))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def clause_in(scene_static, garrs, clause, pts):
+    """IN(clause set) at pts (..., 3) -> (...) bool (group `inside`
+    semantics: any member contains the point, Solid.hs:331)."""
+    out = jnp.zeros(pts.shape[:-1], dtype=bool)
+    for gi, idx in clause.members:
+        ins = group_inside(scene_static, garrs, gi, idx, pts)
+        out = out | jnp.any(ins, axis=-1)
+    return out
+
+
+def clause_first_inside(scene_static, garrs, clause, pts):
+    """First member (ordinal within the clause's flattened member list)
+    containing each point; returns (found, ordinal)."""
+    found = jnp.zeros(pts.shape[:-1], dtype=bool)
+    ordinal = jnp.zeros(pts.shape[:-1], dtype=jnp.int32)
+    base = 0
+    for gi, idx in clause.members:
+        ins = group_inside(scene_static, garrs, gi, idx, pts)  # (..., M)
+        any_here = jnp.any(ins, axis=-1)
+        first = jnp.argmax(ins, axis=-1).astype(jnp.int32) + base
+        take = any_here & ~found
+        ordinal = jnp.where(take, first, ordinal)
+        found = found | any_here
+        base += len(idx)
+    return found, ordinal
+
+
+def intersect(compiled: CompiledScene, arrays, scene_id: int,
+              o, d, tmax=None, shadow: bool = False,
+              prim_chunk: int = PRIM_CHUNK) -> Hit:
+    """Nearest valid hit of N rays against a packed scene.
+
+    o, d: (N, 3); d unit length.  tmax: (N,) or None (= INFINITY).
+    shadow=True applies shadow-pass semantics: prims flagged noshadow are
+    skipped, onlyshadow prims participate (Tex.hs:81-96).
+    """
+    sc = compiled.scenes[scene_id]
+    garrs = arrays["scenes"][scene_id]
+    N = o.shape[0]
+    dt = o.dtype
+    if tmax is None:
+        tmax = jnp.full((N,), INFINITY, dtype=dt)
+
+    best_t = jnp.full((N,), INFINITY, dtype=dt)
+    best_norm = jnp.zeros((N, 3), dtype=dt)
+    best_obj_o = o
+    best_obj_d = d
+    best_tex = jnp.full((N, TEX_DEPTH), -1, dtype=jnp.int32)
+    best_tag = jnp.full((N, TAG_DEPTH), -1, dtype=jnp.int32)
+    best_serial = jnp.full((N,), -1, dtype=jnp.int32)
+    best_csg = jnp.full((N,), -1, dtype=jnp.int32)
+    best_neg = jnp.zeros((N,), dtype=bool)
+
+    for gi, g in enumerate(sc.groups):
+        ga = garrs[gi]
+        for start in range(0, g.size, prim_chunk):
+            sl = slice(start, min(start + prim_chunk, g.size))
+            P = sl.stop - sl.start
+            params = _slice_params(ga, g, sl)
+            transformed = g.m_inv is not None
+            if transformed:
+                minv = ga["m_inv"][sl]            # (P, 3, 4)
+                oo = apply_point(minv[None], o[:, None, :])   # (N, P, 3)
+                dd = apply_vector(minv[None], d[:, None, :])
+                lenscale = jnp.sqrt(jnp.sum(dd * dd, axis=-1))
+                inv_ls = 1.0 / lenscale
+                du = dd * inv_ls[..., None]
+                t0, n0, t1, n1 = _kernel_hits2(g.ptype, params, oo, du)
+                # preserve the miss sentinel through distance rescaling
+                t0 = jnp.where(t0 >= INFINITY, INFINITY, t0 * inv_ls)
+                t1 = jnp.where(t1 >= INFINITY, INFINITY, t1 * inv_ls)
+            else:
+                oo = o[:, None, :]
+                du = jnp.broadcast_to(d[:, None, :], (N, P, 3))
+                t0, n0, t1, n1 = _kernel_hits2(
+                    g.ptype, params, oo, du)
+
+            csg_ids = g.csg_id[sl]
+            is_csg = csg_ids >= 0
+            neg_np = np.zeros((P,), dtype=bool)
+            # Candidate validity.  For plain prims keeping both candidates
+            # reproduces reference nearest-hit semantics: a valid entry is
+            # always nearer than the exit, so argmin picks the entry when
+            # it is ahead of the origin and the exit otherwise.
+            v0 = (t0 > 0.0) & (t0 < tmax[:, None]) & (t0 < INFINITY)
+            v1 = (t1 > 0.0) & (t1 < tmax[:, None]) & (t1 < INFINITY)
+
+            if is_csg.any():
+                # CSG validity per csg object present in this chunk
+                for cid in sorted(set(int(c) for c in csg_ids[is_csg])):
+                    rows = np.where(csg_ids == cid)[0]
+                    csg = sc.csgs[cid]
+                    clauses_of_rows = g.csg_clause[sl][rows]
+                    # candidate points for these rows
+                    tr0 = t0[:, rows]
+                    tr1 = t1[:, rows]
+                    x0 = vscaleadd(o[:, None, :], d[:, None, :], tr0)
+                    x1 = vscaleadd(o[:, None, :], d[:, None, :], tr1)
+                    okay0 = jnp.ones(x0.shape[:-1], dtype=bool)
+                    okay1 = jnp.ones(x1.shape[:-1], dtype=bool)
+                    for ci, clause in enumerate(csg.clauses):
+                        need = np.where(clauses_of_rows != ci)[0]
+                        if len(need) == 0:
+                            continue
+                        pts = jnp.stack([x0[:, need], x1[:, need]], axis=2)
+                        inn = clause_in(sc, garrs, clause, pts)
+                        ok = inn == clause.positive
+                        okay0 = okay0.at[:, need].set(okay0[:, need] & ok[:, :, 0])
+                        okay1 = okay1.at[:, need].set(okay1[:, need] & ok[:, :, 1])
+                    # negative-clause rows: only exit candidates, and the
+                    # ray must actually leave the clause set
+                    for ci, clause in enumerate(csg.clauses):
+                        if clause.positive:
+                            continue
+                        nrows = np.where(clauses_of_rows == ci)[0]
+                        if len(nrows) == 0:
+                            continue
+                        neg_np[rows[nrows]] = True
+                        okay0 = okay0.at[:, nrows].set(False)
+                        xa = vscaleadd(x1[:, nrows], d[:, None, :], DELTA)
+                        still_in = clause_in(sc, garrs, clause, xa)
+                        okay1 = okay1.at[:, nrows].set(okay1[:, nrows] & ~still_in)
+                    v0 = v0.at[:, rows].set(v0[:, rows] & okay0)
+                    v1 = v1.at[:, rows].set(v1[:, rows] & okay1)
+
+            cand_t = jnp.stack([jnp.where(v0, t0, INFINITY),
+                                jnp.where(v1, t1, INFINITY)], axis=-1)
+
+            # shadow / primary visibility flags (static per prim)
+            if shadow:
+                vis = ~g.noshadow[sl]
+            else:
+                vis = ~g.onlyshadow[sl]
+            cand_t = jnp.where(jnp.asarray(vis)[None, :, None], cand_t, INFINITY)
+
+            # reduce chunk -> per-ray best candidate
+            flat = cand_t.reshape(N, P * 2)
+            arg = jnp.argmin(flat, axis=-1)
+            tbest = jnp.take_along_axis(flat, arg[:, None], axis=-1)[:, 0]
+            upd = tbest < best_t
+            if shadow:
+                best_t = jnp.where(upd, tbest, best_t)
+                continue
+
+            pidx = (arg // 2).astype(jnp.int32)
+            slot = (arg % 2).astype(jnp.int32)
+            nsel = jnp.where((slot == 0)[:, None],
+                             jnp.take_along_axis(
+                                 n0, pidx[:, None, None], axis=1)[:, 0],
+                             jnp.take_along_axis(
+                                 n1, pidx[:, None, None], axis=1)[:, 0])
+            if transformed:
+                minv_sel = ga["m_inv"][sl][pidx]          # (N, 3, 4)
+                nsel = vnorm(apply_normal_T(minv_sel, nsel))
+                oo_sel = jnp.take_along_axis(oo, pidx[:, None, None], axis=1)[:, 0]
+                du_sel = jnp.take_along_axis(du, pidx[:, None, None], axis=1)[:, 0]
+            else:
+                oo_sel = o
+                du_sel = d
+            flip = jnp.asarray(neg_np)[pidx]
+            nsel = jnp.where(flip[:, None], -nsel, nsel)
+
+            off = start
+            tex_sel = jnp.asarray(g.tex_stack)[off + pidx]
+            tag_sel = jnp.asarray(g.tag_stack)[off + pidx]
+            ser_sel = jnp.asarray(g.prim_serial)[off + pidx]
+            csg_sel = jnp.asarray(g.csg_id)[off + pidx]
+
+            best_norm = jnp.where(upd[:, None], nsel, best_norm)
+            best_obj_o = jnp.where(upd[:, None], oo_sel, best_obj_o)
+            best_obj_d = jnp.where(upd[:, None], du_sel, best_obj_d)
+            best_tex = jnp.where(upd[:, None], tex_sel, best_tex)
+            best_tag = jnp.where(upd[:, None], tag_sel, best_tag)
+            best_serial = jnp.where(upd, ser_sel, best_serial)
+            best_csg = jnp.where(upd, csg_sel, best_csg)
+            best_neg = jnp.where(upd, flip, best_neg)
+            best_t = jnp.where(upd, tbest, best_t)
+
+    hit = best_t < INFINITY
+    pos = vscaleadd(o, d, jnp.where(hit, best_t, 0.0))
+
+    if not shadow:
+        # retexture difference-B winners with useatex from the first
+        # containing A member's local stacks (Csg.hs:38-41)
+        for cid_all, csg in _all_useatex(sc):
+            mask = hit & best_neg & (best_csg == cid_all)
+            clause0 = csg.clauses[0]
+            found, ordn = clause_first_inside(sc, garrs, clause0, pos)
+            ltex, ltag = _clause_local_stacks(sc, clause0)
+            new_tex = jnp.asarray(ltex)[ordn]
+            new_tag = jnp.asarray(ltag)[ordn]
+            use = (mask & found)[:, None]
+            best_tex = jnp.where(use, new_tex, best_tex)
+            best_tag = jnp.where(use, new_tag, best_tag)
+
+    return Hit(t=jnp.where(hit, best_t, INFINITY), hit=hit, pos=pos,
+               norm=best_norm, obj_o=best_obj_o, obj_d=best_obj_d,
+               tex_stack=best_tex, tag_stack=best_tag,
+               prim_serial=best_serial)
+
+
+def _all_useatex(sc: PackedScene):
+    out = []
+    for cid, csg in enumerate(sc.csgs):
+        if csg.kind == "difference" and csg.useatex:
+            out.append((cid, csg))
+    return out
+
+
+def _clause_local_stacks(sc: PackedScene, clause):
+    """Concatenated (local_tex_stack, local_tag_stack) over the clause's
+    members, in member-ordinal order (host-side static arrays)."""
+    texs, tags = [], []
+    for gi, idx in clause.members:
+        g = sc.groups[gi]
+        texs.append(g.local_tex_stack[idx])
+        tags.append(g.local_tag_stack[idx])
+    return np.concatenate(texs, axis=0), np.concatenate(tags, axis=0)
+
+
+def shadow_query(compiled, arrays, scene_id, o, d, tmax,
+                 prim_chunk: int = PRIM_CHUNK):
+    """True where something valid blocks the segment (0, tmax)."""
+    h = intersect(compiled, arrays, scene_id, o, d, tmax=tmax, shadow=True,
+                  prim_chunk=prim_chunk)
+    return h.hit

@@ -1,0 +1,330 @@
+"""Whitted-style wavefront tracer.
+
+The reference's per-pixel recursion (Trace.hs:59-82 + Shader.hs:65-184)
+becomes a statically unrolled tree of batched passes:
+
+  trace(rays, recurs):
+    hit   = intersect(batch)                    # one vector pass
+    child = reflection / per-material refraction / portal batches,
+            compacted to the active rays, traced at recurs-1
+    color = layered texture fold (cafold, Clr.hs:106) over the hit's
+            static texture stack, shading each layer's material tree
+            with the precomputed light and child-trace results
+
+Recursion budget semantics match the reference exactly: trace at
+recurs == 0 returns transparent-miss (Trace.hs:60); children always get
+recurs - 1 (Shader.hs:107-175).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import color as C
+from .compile import CompiledScene, TEX_DEPTH
+from .config import DELTA, INFINITY, RenderConfig
+from .intersect import Hit, intersect, shadow_query
+from .materials import (AdditiveLayers, Blend, BlendFn, Light, Material,
+                        Reflect, Refract, Surface, Uniform, Warp)
+from .vec import bisect, reflect as vreflect, vdot, vnorm, vscaleadd
+
+
+class TraceResult(NamedTuple):
+    color: jnp.ndarray      # (N, 4) ColorA
+    t: jnp.ndarray          # (N,) hit depth (INFINITY = miss)
+    tag_stack: jnp.ndarray  # (N, TAG_DEPTH)
+    prim_serial: jnp.ndarray
+
+
+# --- compaction helpers ---------------------------------------------------
+
+def compact_indices(mask, cap: int):
+    """Indices of True entries padded to `cap` with out-of-range fill
+    (so scatters with mode='drop' ignore them)."""
+    n = mask.shape[0]
+    (idx,) = jnp.nonzero(mask, size=cap, fill_value=n)
+    return idx
+
+
+def gather(arr, idx):
+    return jnp.take(arr, idx, axis=0, mode='fill', fill_value=0)
+
+
+def scatter(template, idx, vals):
+    return template.at[idx].set(vals, mode='drop')
+
+
+# --- light packing --------------------------------------------------------
+
+def _light_arrays(compiled: CompiledScene, arrays, lights: Tuple[Light, ...]):
+    """Root lights come from the differentiable arrays pytree; any other
+    (warp-scene) light set becomes static constants."""
+    if lights == compiled.lights:
+        la = arrays["lights"]
+        return la["pos"], la["color"], la["radius"]
+    pos = jnp.asarray([l.pos for l in lights], dtype=jnp.float32).reshape(-1, 3)
+    col = jnp.asarray([l.color for l in lights], dtype=jnp.float32).reshape(-1, 3)
+    rad = jnp.asarray([l.radius for l in lights], dtype=jnp.float32).reshape(-1)
+    return pos, col, rad
+
+
+# --- the tracer -----------------------------------------------------------
+
+class Tracer:
+    """Builds the statically unrolled trace program for one compiled scene."""
+
+    def __init__(self, compiled: CompiledScene, config: RenderConfig = None):
+        self.compiled = compiled
+        self.config = config or RenderConfig()
+        # static: per-texture id, which child traces its materials may need
+        ntex = len(compiled.textures)
+        self.tex_needs_reflect = np.zeros(ntex, dtype=bool)
+        for tid, t in enumerate(compiled.textures):
+            mats = ([t.material] if isinstance(t, Uniform) else [t.m1, t.m2])
+            def visit(m):
+                if isinstance(m, (Reflect, Refract)):
+                    self.tex_needs_reflect[tid] = True
+                elif isinstance(m, AdditiveLayers):
+                    for s in m.layers:
+                        visit(s)
+                elif isinstance(m, Blend):
+                    visit(m.m1)
+                    visit(m.m2)
+            for m in mats:
+                visit(m)
+        # texture ids that reference each refract/warp material
+        self.refract_texids = [
+            np.array([tid for tid in range(ntex)
+                      if mi in compiled.tex_refracts[tid]], dtype=np.int32)
+            for mi in range(len(compiled.refract_mats))]
+        self.warp_texids = [
+            np.array([tid for tid in range(ntex)
+                      if wi in compiled.tex_warps[tid]], dtype=np.int32)
+            for wi in range(len(compiled.warp_mats))]
+        self.reflect_texids = np.where(self.tex_needs_reflect)[0].astype(np.int32)
+
+    # -- static helpers ----------------------------------------------------
+
+    def _stack_uses(self, tex_stack, texids: np.ndarray):
+        """(N,) bool: does any layer of the hit's texture stack have an id
+        in the static set `texids`."""
+        if len(texids) == 0:
+            return jnp.zeros(tex_stack.shape[0], dtype=bool)
+        hits = tex_stack[..., None] == jnp.asarray(texids)  # (N, K, M)
+        return jnp.any(hits, axis=(1, 2))
+
+    def _cap(self, n):
+        return max(1, int(math.ceil(n * self.config.secondary_capacity)))
+
+    # -- main entry --------------------------------------------------------
+
+    def trace(self, arrays, o, d, tmax=None, recurs: Optional[int] = None,
+              scene_id: int = 0, lights: Optional[Tuple[Light, ...]] = None
+              ) -> TraceResult:
+        if recurs is None:
+            recurs = self.config.maxdepth
+        if lights is None:
+            lights = self.compiled.lights
+        return self._trace(arrays, scene_id, o, d, tmax, lights, recurs)
+
+    def _trace(self, arrays, scene_id, o, d, tmax, lights, recurs) -> TraceResult:
+        N = o.shape[0]
+        if recurs == 0:
+            # trace at depth 0 is a miss (Trace.hs:60)
+            return TraceResult(C.ca_transparent((N,), o.dtype),
+                               jnp.full((N,), INFINITY, dtype=o.dtype),
+                               jnp.full((N, 4), -1, dtype=jnp.int32),
+                               jnp.full((N,), -1, dtype=jnp.int32))
+
+        hit = intersect(self.compiled, arrays, scene_id, o, d, tmax=tmax)
+        eyedir = -d
+
+        # ---- child traces (computed before shading, masked+compacted) ----
+        children = {}
+        if recurs > 1:
+            children = self._trace_children(arrays, scene_id, o, d, hit,
+                                            lights, recurs)
+
+        # ---- preshade: per-light visibility and intensity ----------------
+        lpos, lcol, lrad = _light_arrays(self.compiled, arrays, lights)
+        light_contribs = []
+        for li, l in enumerate(lights):
+            lvec = lpos[li] - hit.pos
+            llen = jnp.sqrt(vdot(lvec, lvec))
+            ldir = lvec / jnp.maximum(llen, 1e-20)[..., None]
+            facing = vdot(lvec, hit.norm) >= 0.0
+            in_range = llen <= lrad[li]
+            active = hit.hit & facing & in_range
+            if l.shadow:
+                sh_o = vscaleadd(hit.pos, hit.norm, DELTA)
+                cap = self._cap(N)
+                idx = compact_indices(active, cap)
+                blocked_c = shadow_query(
+                    self.compiled, arrays, scene_id,
+                    gather(sh_o, idx), gather(ldir, idx),
+                    gather(llen - 2.0 * DELTA, idx))
+                blocked = scatter(jnp.zeros((N,), dtype=bool), idx, blocked_c)
+                active = active & ~blocked
+            falloff = 1.0 / jnp.maximum(llen * llen, 1e-20)
+            contrib = jnp.where(active[:, None], lcol[li] * falloff[:, None], 0.0)
+            light_contribs.append((contrib, ldir, active))
+
+        # ---- layered texture fold (Trace.hs:67-82) -----------------------
+        ctx = dict(hit=hit, d=d, eyedir=eyedir, lights=light_contribs,
+                   children=children, recurs=recurs)
+        acc = C.ca_transparent((N,), o.dtype)
+        for layer in range(TEX_DEPTH):
+            tids = hit.tex_stack[:, layer]
+            layer_color = C.ca_transparent((N,), o.dtype)
+            for tid, tex in enumerate(self.compiled.textures):
+                mask = tids == tid
+                # static skip: texture never on this layer anywhere?
+                col = self._eval_texture(tex, ctx)
+                layer_color = jnp.where(mask[:, None], col, layer_color)
+            has = (tids >= 0) & hit.hit
+            opaque = acc[..., 3] + DELTA >= 1.0
+            folded = C.cafold(acc, layer_color)
+            acc = jnp.where((has & ~opaque)[:, None], folded, acc)
+
+        return TraceResult(acc, hit.t, hit.tag_stack, hit.prim_serial)
+
+    # -- secondary rays ----------------------------------------------------
+
+    def _trace_children(self, arrays, scene_id, o, d, hit: Hit, lights, recurs):
+        N = o.shape[0]
+        cc = self.compiled
+        out = {}
+        cap = self._cap(N)
+
+        def masked_child(mask, co, cd, ctmax, cscene, clights):
+            idx = compact_indices(mask, cap)
+            res = self._trace(arrays, cscene, gather(co, idx), gather(cd, idx),
+                              None if ctmax is None else gather(ctmax, idx),
+                              clights, recurs - 1)
+            color = scatter(jnp.zeros((N, 4), dtype=o.dtype), idx, res.color)
+            t = scatter(jnp.full((N,), INFINITY, dtype=o.dtype), idx, res.t)
+            return color, t
+
+        needs_refl = self._stack_uses(hit.tex_stack, self.reflect_texids)
+        if len(self.reflect_texids):
+            outdir = vreflect(d, hit.norm)
+            ro = vscaleadd(hit.pos, outdir, DELTA)
+            color, _ = masked_child(hit.hit & needs_refl, ro, outdir, None,
+                                    scene_id, lights)
+            out["reflect"] = color
+
+        for mi, m in enumerate(cc.refract_mats):
+            active = hit.hit & self._stack_uses(hit.tex_stack,
+                                               self.refract_texids[mi])
+            n = hit.norm
+            eta = jnp.where(vdot(n, -d) > 0.0, m.ior, 1.0 / m.ior)
+            c1 = vdot(d, n)
+            cs2 = 1.0 - eta * eta * (1.0 - c1 * c1)
+            tir = cs2 < 0.0
+            tdir = d * eta[..., None] + n * (eta * c1 - jnp.sqrt(
+                jnp.maximum(cs2, 0.0)))[..., None]
+            ro = vscaleadd(hit.pos, tdir, DELTA)
+            color, _ = masked_child(active & ~tir, ro, tdir, None,
+                                    scene_id, lights)
+            # total internal reflection -> opaque black (Shader.hs:138-139)
+            color = jnp.where((active & tir)[:, None],
+                              C.ca_black((N,), o.dtype), color)
+            out[("refract", mi)] = color
+
+        for wi, w in enumerate(cc.warp_mats):
+            active = hit.hit & self._stack_uses(hit.tex_stack,
+                                               self.warp_texids[wi])
+            # frame trace: object-space stored ray vs the frame solid
+            # (Shader.hs:158-164 traces with the hit's riray)
+            fcolor, ft = masked_child(active, hit.obj_o, hit.obj_d, None,
+                                      w.frame_scene, lights)
+            # warped trace: xfm applied to Ray(pos, vnorm dir), capped at
+            # the frame hit depth (Shader.hs:165-171)
+            fwd = jnp.asarray(w.xfm.fwd, dtype=o.dtype)
+            wo = jnp.einsum('ij,nj->ni', fwd[:, :3], hit.pos) + fwd[:, 3]
+            wd = vnorm(jnp.einsum('ij,nj->ni', fwd[:, :3], vnorm(d)))
+            wcolor, wt = masked_child(active, wo, wd, ft, w.target_scene,
+                                      tuple(w.lights))
+            out[("warp", wi)] = (fcolor, ft, wcolor, wt)
+        return out
+
+    # -- material evaluation (recursive over the static material tree) ----
+
+    def _eval_texture(self, tex, ctx):
+        if isinstance(tex, Uniform):
+            return self._eval_material(tex.material, ctx)
+        if isinstance(tex, BlendFn):
+            w = tex.field(ctx["hit"].pos)
+            return C.caweight(self._eval_material(tex.m1, ctx),
+                              self._eval_material(tex.m2, ctx), w)
+        raise TypeError(type(tex))
+
+    def _eval_material(self, m: Material, ctx):
+        hit: Hit = ctx["hit"]
+        N = hit.t.shape[0]
+        dt = hit.pos.dtype
+        if isinstance(m, Surface):
+            col = jnp.asarray(m.color, dtype=dt)
+            ambient = col * m.ambient
+            direct = jnp.zeros((N, 3), dtype=dt)
+            for contrib, ldir, active in ctx["lights"]:
+                half = bisect(ldir, ctx["eyedir"])
+                ldotn = jnp.maximum(0.0, vdot(ldir, hit.norm))
+                if m.ks <= DELTA:
+                    blinn = 0.0
+                else:
+                    hb = vdot(half, hit.norm)
+                    blinn = jnp.where(
+                        hb > 0.0,
+                        jnp.power(jnp.maximum(hb, 1e-30), m.shine) * ldotn,
+                        0.0)
+                    blinn = jnp.maximum(0.0, blinn)
+                diffuse = vdot(ldir, hit.norm)
+                w = blinn * m.ks + diffuse * m.kd
+                direct = direct + contrib * w[:, None]
+            if self.config.modulate_diffuse:
+                rgb = col * (m.ambient + 0.0) + direct * col
+            else:
+                rgb = ambient + direct
+            a = jnp.full((N, 1), m.alpha, dtype=dt)
+            return jnp.concatenate([rgb, a], axis=-1)
+
+        if isinstance(m, Reflect):
+            if ctx["recurs"] > 1 and m.amount > 0 and "reflect" in ctx["children"]:
+                c = ctx["children"]["reflect"]
+                return jnp.concatenate([c[..., :3], c[..., 3:] * m.amount],
+                                       axis=-1)
+            return C.ca_black((N,), dt)
+
+        if isinstance(m, Refract):
+            if ctx["recurs"] > 1 and (m.refl > 0 or m.refr > 0):
+                mi = self.compiled.refract_mats.index(m)
+                refr = ctx["children"].get(("refract", mi))
+                refl = ctx["children"].get(
+                    "reflect", C.ca_transparent((N,), dt))
+                return refl * m.refl + refr * m.refr
+            return C.ca_transparent((N,), dt)
+
+        if isinstance(m, Warp):
+            for wi, w in enumerate(self.compiled.warp_mats):
+                if w.material is m:
+                    break
+            key = ("warp", wi)
+            if ctx["recurs"] > 1 and key in ctx["children"]:
+                fcolor, ft, wcolor, wt = ctx["children"][key]
+                return jnp.where((ft < wt)[:, None], fcolor, wcolor)
+            return C.ca_transparent((N,), dt)
+
+        if isinstance(m, AdditiveLayers):
+            return C.casum([self._eval_material(s, ctx) for s in m.layers])
+
+        if isinstance(m, Blend):
+            return C.caweight(self._eval_material(m.m1, ctx),
+                              self._eval_material(m.m2, ctx), m.weight)
+        raise TypeError(type(m))
