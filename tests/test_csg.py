@@ -1,0 +1,146 @@
+"""CSG semantics tests against the reference's rayint_difference /
+rayint_intersection behavior (Csg.hs:33-90)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import glome_tpu as G
+from glome_tpu.config import INFINITY
+from glome_tpu.intersect import intersect
+from glome_tpu.materials import Surface, light
+
+
+import jax
+
+
+def _setup(solid):
+    compiled = G.compile_scene(solid, ())
+    return compiled, compiled.arrays()
+
+
+def _hits(compiled, arrays, origins, dirs):
+    # jit the whole query: eager mode on this CI box pays ~0.5s of XLA
+    # compile per *distinct op*, which makes unjitted intersect unusable
+    o = np.asarray(origins, dtype=np.float32).reshape(-1, 3)
+    d = np.asarray(dirs, dtype=np.float64).reshape(-1, 3)
+    d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+    fn = jax.jit(lambda a, o_, d_: intersect(compiled, a, 0, o_, d_))
+    return fn(arrays, o, d)
+
+
+def test_difference_sphere_sphere():
+    # unit sphere at origin minus sphere at (1,0,0) r=0.75
+    s = G.difference(G.sphere((0, 0, 0), 1.0), G.sphere((1, 0, 0), 0.75))
+    compiled, arrays = _setup(s)
+    h = _hits(compiled, arrays,
+              [[-5, 0, 0], [5, 0, 0], [0, 0, -5]],
+              [[1, 0, 0], [-1, 0, 0], [0, 0, 1]])
+    # from -x: A's entry surface at t=4 (not inside B)
+    np.testing.assert_allclose(h.t[0], 4.0, rtol=1e-4)
+    np.testing.assert_allclose(h.norm[0], [-1, 0, 0], atol=1e-4)
+    # from +x: first valid surface is B's boundary inside A (the scooped
+    # bowl): B spans x in [0.25, 1.75]; ray enters B at x=1.75 (outside A,
+    # invalid), exits B at x=0.25 which is inside A -> t = 5 - 0.25 = 4.75,
+    # with B's normal flipped (pointing +x)
+    np.testing.assert_allclose(h.t[1], 4.75, rtol=1e-4)
+    np.testing.assert_allclose(h.norm[1], [1, 0, 0], atol=1e-4)
+    # from -z straight at the middle: plain A hit at t=4
+    np.testing.assert_allclose(h.t[2], 4.0, rtol=1e-4)
+
+
+def test_difference_origin_inside_b():
+    # origin inside the subtracted sphere: ray exits B inside A -> B's
+    # exit surface with flipped normal (Csg.hs:35-43)
+    s = G.difference(G.sphere((0, 0, 0), 2.0), G.sphere((0, 0, 0), 1.0))
+    compiled, arrays = _setup(s)
+    h = _hits(compiled, arrays, [[0, 0, 0]], [[0, 0, 1]])
+    np.testing.assert_allclose(h.t[0], 1.0, rtol=1e-4)
+    np.testing.assert_allclose(h.norm[0], [0, 0, -1], atol=1e-4)
+
+
+def test_difference_miss_when_fully_subtracted():
+    s = G.difference(G.sphere((0, 0, 0), 1.0), G.sphere((0, 0, 0), 2.0))
+    compiled, arrays = _setup(s)
+    h = _hits(compiled, arrays, [[-5, 0, 0]], [[1, 0, 0]])
+    assert not bool(h.hit[0])
+
+
+def test_intersection_of_spheres():
+    # lens: spheres at +-0.5 with radius 1 -> overlap x in [-0.5, 0.5]
+    s = G.intersection([G.sphere((-0.5, 0, 0), 1.0),
+                        G.sphere((0.5, 0, 0), 1.0)])
+    compiled, arrays = _setup(s)
+    h = _hits(compiled, arrays, [[-5, 0, 0], [0, 0, 0]],
+              [[1, 0, 0], [1, 0, 0]])
+    # entry: surface of right sphere at x=-0.5 -> t=4.5
+    np.testing.assert_allclose(h.t[0], 4.5, rtol=1e-4)
+    np.testing.assert_allclose(h.norm[0], [-1, 0, 0], atol=1e-4)
+    # from inside the lens: exit = left sphere's surface at x=0.5
+    np.testing.assert_allclose(h.t[1], 0.5, rtol=1e-4)
+    np.testing.assert_allclose(h.norm[1], [1, 0, 0], atol=1e-4)
+
+
+def test_intersection_of_planes_cube():
+    # 6 half-spaces forming a unit cube (polyhedra from planes,
+    # Csg.hs:60-63 / TestScene icosahedron construction)
+    planes = [G.plane_offset(np.array(n, dtype=float), 1.0)
+              for n in [(1, 0, 0), (-1, 0, 0), (0, 1, 0),
+                        (0, -1, 0), (0, 0, 1), (0, 0, -1)]]
+    s = G.intersection(planes)
+    compiled, arrays = _setup(s)
+    h = _hits(compiled, arrays, [[-5, 0.2, 0.3], [0, 0, 0]],
+              [[1, 0, 0], [0, 1, 0]])
+    np.testing.assert_allclose(h.t[0], 4.0, rtol=1e-4)
+    np.testing.assert_allclose(h.norm[0], [-1, 0, 0], atol=1e-4)
+    np.testing.assert_allclose(h.t[1], 1.0, rtol=1e-4)
+    np.testing.assert_allclose(h.norm[1], [0, 1, 0], atol=1e-4)
+
+
+def test_difference_group_retexture():
+    # difference of a *group* (two boxes) minus a sphere spanning both;
+    # B-surface hits take the texture of the containing A member
+    # (get_metainfo semantics, Csg.hs:39-41)
+    m1 = G.t_uniform(Surface(color=(1, 0, 0)))
+    m2 = G.t_uniform(Surface(color=(0, 1, 0)))
+    a = G.group([G.tex(G.box((-2, -1, -1), (0, 1, 1)), m1),
+                 G.tex(G.box((0, -1, -1), (2, 1, 1)), m2)])
+    s = G.difference(a, G.sphere((0, 0, 0), 0.8))
+    compiled, arrays = _setup(s)
+    # ray along x through the center: A entry at x=-2 is valid (outside B)
+    h = _hits(compiled, arrays, [[-5, 0, 0]], [[1, 0, 0]])
+    np.testing.assert_allclose(h.t[0], 3.0, rtol=1e-4)
+    # ray entering through the hollow: origin at center of sphere, moving +x;
+    # B exit at x=0.8 is inside box 2 -> retextured with m2 (tex id 1)
+    h = _hits(compiled, arrays, [[0, 0, 0]], [[1, 0, 0]])
+    np.testing.assert_allclose(h.t[0], 0.8, rtol=1e-4)
+    assert int(h.tex_stack[0, 0]) == 1
+    # B's outward normal (1,0,0) is inverted (Csg.hs:41) to face the hollow
+    np.testing.assert_allclose(h.norm[0], [-1, 0, 0], atol=1e-4)
+
+
+def test_difference_of_transformed_group():
+    # chessboard pattern: scaled boxes minus sphere (TestScene.hs:185)
+    boxes = [G.box((x, 0, 0), (x + 1, 1, 1)) for x in (-2, -1, 0, 1)]
+    a = G.transform(G.group(boxes), [G.scale((1, 2, 1))])
+    s = G.difference(a, G.sphere((0, 1, 0.5), 0.9))
+    compiled, arrays = _setup(s)
+    # ray down the y axis at x=-1.5: boxes scale to y in [0,2]; the sphere
+    # doesn't reach x=-1.5, so plain top face at y=2
+    h = _hits(compiled, arrays, [[-1.5, 5, 0.5]], [[0, -1, 0]])
+    np.testing.assert_allclose(h.t[0], 3.0, rtol=1e-4)
+    # ray down at x=0.5 z=0.5 through sphere center: top face y=2 valid
+    # (outside sphere radius 0.9 centered y=1)... 2 > 1+0.9 so valid
+    h = _hits(compiled, arrays, [[0.5, 5, 0.5]], [[0, -1, 0]])
+    np.testing.assert_allclose(h.t[0], 3.0, rtol=1e-4)
+
+
+def test_csg_shadow_pass():
+    # shadows must respect CSG: a fully-subtracted solid casts no shadow
+    s = G.difference(G.sphere((0, 0, 0), 1.0), G.sphere((0, 0, 0), 2.0))
+    compiled, arrays = _setup(s)
+    from glome_tpu.intersect import shadow_query
+    o = jnp.asarray([[-5.0, 0, 0]])
+    d = jnp.asarray([[1.0, 0, 0]])
+    blocked = shadow_query(compiled, arrays, 0, o, d,
+                           jnp.asarray([10.0]))
+    assert not bool(blocked[0])
