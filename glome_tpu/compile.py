@@ -40,6 +40,12 @@ from .materials import (AdditiveLayers, Blend, BlendFn, Light, Material,
 TEX_DEPTH = 4
 TAG_DEPTH = 4
 
+# CSG prims whose validity can be checked against at most this many other
+# prims are accelerated with the check inlined into BVH leaf tests;
+# bigger scans stay on the deferred brute-force path (they are rare:
+# difference-B solids and members of wide intersections).
+CHEAP_CONSTRAINTS_MAX = 8
+
 # primitive type tags (group order is irrelevant; kernels dispatch on this)
 PTYPES = ("sphere", "plane", "box", "triangle", "trianglenorm", "disc",
           "cylinder", "cone")
@@ -66,6 +72,14 @@ class PrimGroup:
     csg_id: np.ndarray         # (P,) int32, -1 = plain
     csg_clause: np.ndarray     # (P,) int32
     prim_serial: np.ndarray    # (P,) int32 global id (picking / debug)
+    # validity class (uniform per group): 'plain' | 'inline' | 'deferred'
+    vclass: str = "plain"
+    # for 'inline': static constraint list [(positive, [(gi, local_idx)])],
+    # shared by every prim of the group (resolved after packing)
+    constraints: Optional[list] = None
+    # acceleration structure (accel.BvhFlat), attached after packing for
+    # bounded non-deferred groups
+    accel: Optional[object] = None
 
     @property
     def size(self):
@@ -457,16 +471,33 @@ class Compiler:
 
     # -- packing ----------------------------------------------------------
 
+    def _vclass_key(self, build: _SceneBuild, rec: _PrimRecord):
+        """Validity class for acceleration grouping: plain prims and
+        positive-clause CSG prims with small other-clause scans are BVH
+        eligible; everything else is brute-forced (deferred)."""
+        if rec.csg_id < 0:
+            return ("plain", None)
+        kind, useatex, clause_serials, signs = build.csgs[rec.csg_id]
+        own = rec.clause_id
+        other_total = sum(len(s) for ci, s in enumerate(clause_serials)
+                          if ci != own)
+        if signs[own] and other_total <= CHEAP_CONSTRAINTS_MAX:
+            return ("inline", (rec.csg_id, own))
+        return ("deferred", None)
+
     def pack(self, lights: Sequence[Light]) -> CompiledScene:
         packed_scenes = []
         serial_loc: Dict[int, Tuple[int, int, int]] = {}
+        group_builds = []
         for si, build in enumerate(self.scenes):
-            groups: Dict[Tuple[str, bool], List[_PrimRecord]] = {}
+            groups: Dict[tuple, List[_PrimRecord]] = {}
             for rec in build.prims:
-                key = (rec.ptype, rec.inv is not None)
+                vkey = self._vclass_key(build, rec)
+                key = (rec.ptype, rec.inv is not None, vkey)
                 groups.setdefault(key, []).append(rec)
             glist = []
-            for (ptype, has_m), recs in sorted(groups.items()):
+            for (ptype, has_m, vkey), recs in sorted(
+                    groups.items(), key=lambda kv: repr(kv[0])):
                 gi = len(glist)
                 P = len(recs)
                 pnames = recs[0].params.keys()
@@ -495,8 +526,10 @@ class Compiler:
                     csg_id=np.array([r.csg_id for r in recs], dtype=np.int32),
                     csg_clause=np.array([r.clause_id for r in recs], dtype=np.int32),
                     prim_serial=np.array([r.serial for r in recs], dtype=np.int32),
+                    vclass=vkey[0],
                 )
                 glist.append(g)
+                group_builds.append((build, g, recs, vkey))
                 for li, r in enumerate(recs):
                     serial_loc[r.serial] = (si, gi, li)
             csgs = []
@@ -512,6 +545,30 @@ class Compiler:
                     clauses.append(CsgClause(positive, members, list(serials)))
                 csgs.append(CsgObject(clauses, useatex, kind))
             packed_scenes.append(PackedScene(glist, csgs))
+
+        # resolve inline CSG constraints now that every prim has a home,
+        # and attach per-group BVHs for bounded non-deferred groups
+        from . import accel as _accel
+        for build, g, recs, vkey in group_builds:
+            if vkey[0] == "inline":
+                cid, own = vkey[1]
+                kind, useatex, clause_serials, signs = build.csgs[cid]
+                cons = []
+                for ci, serials in enumerate(clause_serials):
+                    if ci == own:
+                        continue
+                    bygroup: Dict[int, List[int]] = {}
+                    for s0 in serials:
+                        _, gi2, li2 = serial_loc[s0]
+                        bygroup.setdefault(gi2, []).append(li2)
+                    members = [(gi2, np.asarray(lis, dtype=np.int32))
+                               for gi2, lis in sorted(bygroup.items())]
+                    cons.append((signs[ci], members))
+                g.constraints = cons
+            if (g.ptype != "plane" and g.vclass != "deferred"
+                    and g.size >= 8):
+                bmin, bmax = _accel.group_bounds(g)
+                g.accel = _accel.build_bvh(bmin, bmax)
 
         # per-texture reachable refract/warp material indices (for masking
         # secondary traces)

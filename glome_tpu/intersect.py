@@ -147,6 +147,156 @@ def clause_first_inside(scene_static, garrs, clause, pts):
     return found, ordinal
 
 
+def _gather_params(ga, local):
+    return {k: v[local] for k, v in ga.items() if k not in ("m_inv", "m_fwd")}
+
+
+def _inline_valid(sc, garrs, constraints, pts):
+    """Evaluate a group's static inline CSG constraint list at pts."""
+    ok = jnp.ones(pts.shape[:-1], dtype=bool)
+    for positive, members in constraints:
+        inn = jnp.zeros(pts.shape[:-1], dtype=bool)
+        for gi, idx in members:
+            ins = group_inside(sc, garrs, gi, idx, pts)
+            inn = inn | jnp.any(ins, axis=-1)
+        ok = ok & (inn == positive)
+    return ok
+
+
+def bvh_pass(sc, garrs, gi, o, d, seed_t, shadow: bool):
+    """Skip-link BVH traversal over one accelerated group.
+
+    All rays advance in lockstep through a single while loop; per step
+    each ray gathers one node, slab-tests it against its running best
+    distance, tests <= LEAF_MAX leaf prims, and follows the hit (+1) or
+    skip link.  Returns (t, local_idx, slot) with t == seed where the
+    group found nothing better.  See accel.py for the structure.
+    """
+    import jax
+
+    # The traversal loop only *selects* the winning (prim, slot); its
+    # numeric outputs are recomputed differentiably in
+    # _finalize_bvh_winner, so the whole loop runs under stop_gradient
+    # (reverse-mode AD cannot cross lax.while_loop).
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    seed_t = jax.lax.stop_gradient(seed_t)
+    garrs = jax.tree.map(jax.lax.stop_gradient, garrs)
+
+    g = sc.groups[gi]
+    ga = garrs[gi]
+    bvh = g.accel
+    N = o.shape[0]
+    M = bvh.n_nodes
+    nb_min = jnp.asarray(bvh.bmin)
+    nb_max = jnp.asarray(bvh.bmax)
+    leaf_start = jnp.asarray(bvh.leaf_start)
+    leaf_count = jnp.asarray(bvh.leaf_count)
+    skip = jnp.asarray(bvh.skip)
+    order = jnp.asarray(bvh.order)
+    n_order = int(bvh.order.shape[0])
+    transformed = g.m_inv is not None
+    vis_np = (~g.noshadow) if shadow else (~g.onlyshadow)
+    vis = jnp.asarray(vis_np)
+
+    safe_d = jnp.where(d == 0.0, 1e-20, d)
+    inv_d = 1.0 / safe_d
+
+    from .accel import LEAF_MAX
+
+    def body(state):
+        idx, bt, bl, bs = state
+        nidx = jnp.clip(idx, 0, M - 1)
+        bmin = nb_min[nidx]
+        bmax = nb_max[nidx]
+        t1 = (bmin - o) * inv_d
+        t2 = (bmax - o) * inv_d
+        near = jnp.max(jnp.minimum(t1, t2), axis=-1)
+        far = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        live = idx < M
+        hitb = live & (near <= far) & (far > 0.0) & (near < bt)
+        lc = leaf_count[nidx]
+        ls = leaf_start[nidx]
+        for k in range(LEAF_MAX):
+            pid = jnp.clip(ls + k, 0, max(n_order - 1, 0))
+            local = order[pid]
+            test = hitb & (k < lc) & vis[local]
+            prow = _gather_params(ga, local)
+            if transformed:
+                minv = ga["m_inv"][local]
+                oo = apply_point(minv, o)
+                dd = apply_vector(minv, d)
+                ils = 1.0 / jnp.sqrt(jnp.sum(dd * dd, axis=-1))
+                du = dd * ils[..., None]
+                t0c, _, t1c, _ = _kernel_hits2(g.ptype, prow, oo, du)
+                t0c = jnp.where(t0c >= INFINITY, INFINITY, t0c * ils)
+                t1c = jnp.where(t1c >= INFINITY, INFINITY, t1c * ils)
+            else:
+                t0c, _, t1c, _ = _kernel_hits2(g.ptype, prow, o, d)
+            v0 = test & (t0c > 0.0) & (t0c < bt)
+            v1 = test & (t1c > 0.0) & (t1c < bt)
+            if g.constraints:
+                x0 = vscaleadd(o, d, t0c)
+                x1 = vscaleadd(o, d, t1c)
+                pts = jnp.stack([x0, x1], axis=1)
+                okc = _inline_valid(sc, garrs, g.constraints, pts)
+                v0 = v0 & okc[:, 0]
+                v1 = v1 & okc[:, 1]
+            tc = jnp.where(v0, t0c, jnp.where(v1, t1c, INFINITY))
+            slot = jnp.where(v0, 0, 1).astype(jnp.int32)
+            better = tc < bt
+            bt = jnp.where(better, tc, bt)
+            bl = jnp.where(better, local, bl)
+            bs = jnp.where(better, slot, bs)
+        nxt = jnp.where(hitb, idx + 1, skip[nidx])
+        if shadow:
+            # any-hit: a ray that already found a blocker can stop
+            nxt = jnp.where(bt < seed_t, M, nxt)
+        idx = jnp.where(live, nxt, idx)
+        return idx, bt, bl, bs
+
+    def cond(state):
+        return jnp.any(state[0] < M)
+
+    state0 = (jnp.zeros((N,), dtype=jnp.int32), seed_t,
+              jnp.full((N,), -1, dtype=jnp.int32),
+              jnp.zeros((N,), dtype=jnp.int32))
+    _, bt, bl, bs = jax.lax.while_loop(cond, body, state0)
+    return bt, bl, bs
+
+
+def _finalize_bvh_winner(sc, garrs, gi, o, d, t, local, slot):
+    """Recompute the winning candidate's normal / object ray / metadata
+    for rays whose global best came from BVH group gi."""
+    g = sc.groups[gi]
+    ga = garrs[gi]
+    local = jnp.maximum(local, 0)
+    prow = _gather_params(ga, local)
+    transformed = g.m_inv is not None
+    if transformed:
+        minv = ga["m_inv"][local]
+        oo = apply_point(minv, o)
+        dd = apply_vector(minv, d)
+        ils = 1.0 / jnp.sqrt(jnp.sum(dd * dd, axis=-1))
+        du = dd * ils[..., None]
+        t0c, n0, t1c, n1 = _kernel_hits2(g.ptype, prow, oo, du)
+        t0c = t0c * ils
+        t1c = t1c * ils
+    else:
+        oo, du = o, d
+        t0c, n0, t1c, n1 = _kernel_hits2(g.ptype, prow, o, d)
+    # differentiable re-evaluation of the traversal's chosen distance
+    tsel = jnp.where(slot == 0, t0c, t1c)
+    tsel = jnp.where(jnp.abs(tsel - t) < 1e-2 * (1.0 + jnp.abs(t)), tsel, t)
+    n = jnp.where((slot == 0)[:, None], n0, n1)
+    if transformed:
+        n = vnorm(apply_normal_T(minv, n))
+    tex = jnp.asarray(g.tex_stack)[local]
+    tag = jnp.asarray(g.tag_stack)[local]
+    ser = jnp.asarray(g.prim_serial)[local]
+    return tsel, n, oo, du, tex, tag, ser
+
+
 def intersect(compiled: CompiledScene, arrays, scene_id: int,
               o, d, tmax=None, shadow: bool = False,
               prim_chunk: int = PRIM_CHUNK) -> Hit:
@@ -174,6 +324,8 @@ def intersect(compiled: CompiledScene, arrays, scene_id: int,
     best_neg = jnp.zeros((N,), dtype=bool)
 
     for gi, g in enumerate(sc.groups):
+        if g.accel is not None:
+            continue  # BVH pass below
         ga = garrs[gi]
         for start in range(0, g.size, prim_chunk):
             sl = slice(start, min(start + prim_chunk, g.size))
@@ -297,6 +449,30 @@ def intersect(compiled: CompiledScene, arrays, scene_id: int,
             best_csg = jnp.where(upd, csg_sel, best_csg)
             best_neg = jnp.where(upd, flip, best_neg)
             best_t = jnp.where(upd, tbest, best_t)
+
+    # accelerated groups: sequential BVH passes, each seeded with the
+    # running best so later passes cull against earlier hits
+    for gi, g in enumerate(sc.groups):
+        if g.accel is None:
+            continue
+        seed = jnp.minimum(best_t, tmax)
+        bt, bl, bs = bvh_pass(sc, garrs, gi, o, d, seed, shadow)
+        upd = bt < seed
+        if shadow:
+            best_t = jnp.where(upd, bt, best_t)
+            continue
+        tsel, n, oo_sel, du_sel, tex_sel, tag_sel, ser_sel = \
+            _finalize_bvh_winner(sc, garrs, gi, o, d, bt, bl, bs)
+        best_t = jnp.where(upd, tsel, best_t)
+        best_norm = jnp.where(upd[:, None], n, best_norm)
+        best_obj_o = jnp.where(upd[:, None], oo_sel, best_obj_o)
+        best_obj_d = jnp.where(upd[:, None], du_sel, best_obj_d)
+        best_tex = jnp.where(upd[:, None], tex_sel, best_tex)
+        best_tag = jnp.where(upd[:, None], tag_sel, best_tag)
+        best_serial = jnp.where(upd, ser_sel, best_serial)
+        csg_sel = jnp.asarray(g.csg_id)[jnp.maximum(bl, 0)]
+        best_csg = jnp.where(upd, csg_sel, best_csg)
+        best_neg = jnp.where(upd, False, best_neg)
 
     hit = best_t < INFINITY
     pos = vscaleadd(o, d, jnp.where(hit, best_t, 0.0))
