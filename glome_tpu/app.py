@@ -1,0 +1,99 @@
+"""Command-line renderer: the reference GlomeView executable, headless.
+
+Replicates the reference driver's behavior (GlomeView/Glome.hs:440-469):
+print primcount, time scene setup / render / output separately, render
+the TestScene (or an NFF file) and write a PNG.  The interactive window
+becomes --pick x y: trace a pick ray and print the tag stack of the hit
+object (the reference's mouse handler, Glome.hs:416-438).
+
+Usage:
+  python -m glome_tpu.app [--scene test|simple|path.nff] [--out out.png]
+      [--xres 720 --yres 480] [--depth 3] [--aa] [--pick X Y]
+      [--iters 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--scene", default="test",
+                   help="'test', 'simple', or a .nff file path")
+    p.add_argument("--out", default="out.png")
+    p.add_argument("--xres", type=int, default=720)
+    p.add_argument("--yres", type=int, default=480)
+    p.add_argument("--depth", type=int, default=3)
+    p.add_argument("--aa", action="store_true",
+                   help="adaptive subsample/supersample antialiasing")
+    p.add_argument("--pick", type=int, nargs=2, metavar=("X", "Y"),
+                   help="print the tag stack for the object at pixel X,Y")
+    p.add_argument("--iters", type=int, default=1,
+                   help="repeat the render (timing consistency)")
+    p.add_argument("--lattice-n", type=int, default=10)
+    args = p.parse_args(argv)
+
+    import jax
+    import glome_tpu as G
+    from glome_tpu.config import RenderConfig
+    from glome_tpu.render import Renderer, camera
+    from glome_tpu.io import write_png
+
+    t0 = time.time()
+    if args.scene == "test":
+        from glome_tpu.scenes import test_scene
+        solid, lights, cam = test_scene(lattice_n=args.lattice_n)
+    elif args.scene == "simple":
+        from glome_tpu.scenes import simple_scene
+        from glome_tpu.scenes.testscene import cust_cam, lights as _lights
+        solid, lights, cam = simple_scene(), _lights(), cust_cam()
+    else:
+        from glome_tpu import spd
+        s = spd.load(args.scene)
+        solid, lights = s.geom, s.lights
+        cam = s.cam or camera((0, 0, -5), (0, 0, 0), (0, 1, 0), 45)
+        if s.resolution:
+            args.xres, args.yres = s.resolution
+
+    print(f"(primitives,transforms,bounding objects): {G.primcount(solid)}")
+    compiled = G.compile_scene(solid, lights)
+    arrays = jax.device_put(compiled.arrays())
+    cfg = RenderConfig(xres=args.xres, yres=args.yres, maxdepth=args.depth)
+    tracer = G.Tracer(compiled, cfg)
+    print(f"scene setup: {time.time()-t0:.3f}s")
+
+    if args.pick:
+        from glome_tpu.pick import pick
+        tags = pick(tracer, cam, arrays, args.pick[0], args.pick[1])
+        print(f"{args.pick[0]} {args.pick[1]}:")
+        for t in tags:
+            print(t)
+        return
+
+    if args.aa:
+        from glome_tpu.aa import AARenderer
+        r = AARenderer(tracer, cam, cfg)
+        render = lambda: r.render(arrays)
+    else:
+        r = Renderer(tracer, cam, cfg)
+        render = lambda: r.render(arrays)
+
+    for _ in range(args.iters):
+        t0 = time.time()
+        rgb, depth = render()
+        jax.block_until_ready(rgb)
+        print(f"render: {time.time()-t0:.3f}s")
+
+    t0 = time.time()
+    write_png(args.out, np.asarray(rgb))
+    print(f"write: {time.time()-t0:.3f}s -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -152,8 +152,13 @@ class Tracer:
                                             lights, recurs)
 
         # ---- preshade: per-light visibility and intensity ----------------
+        # all lights' shadow rays are batched into ONE compacted
+        # shadow query (the reference tests them one by one per hit,
+        # Shader.hs:70-80; one fused any-hit pass is the wavefront form)
         lpos, lcol, lrad = _light_arrays(self.compiled, arrays, lights)
-        light_contribs = []
+        light_pre = []
+        sh_segments = []
+        cap = self._cap(N)
         for li, l in enumerate(lights):
             lvec = lpos[li] - hit.pos
             llen = jnp.sqrt(vdot(lvec, lvec))
@@ -161,16 +166,30 @@ class Tracer:
             facing = vdot(lvec, hit.norm) >= 0.0
             in_range = llen <= lrad[li]
             active = hit.hit & facing & in_range
+            light_pre.append((llen, ldir, active))
             if l.shadow:
-                sh_o = vscaleadd(hit.pos, hit.norm, DELTA)
-                cap = self._cap(N)
                 idx = compact_indices(active, cap)
-                blocked_c = shadow_query(
-                    self.compiled, arrays, scene_id,
-                    gather(sh_o, idx), gather(ldir, idx),
-                    gather(llen - 2.0 * DELTA, idx))
-                blocked = scatter(jnp.zeros((N,), dtype=bool), idx, blocked_c)
-                active = active & ~blocked
+                sh_o = vscaleadd(hit.pos, hit.norm, DELTA)
+                sh_segments.append((li, idx,
+                                    gather(sh_o, idx), gather(ldir, idx),
+                                    gather(llen - 2.0 * DELTA, idx)))
+        blocked_by_light = {}
+        if sh_segments:
+            so = jnp.concatenate([s[2] for s in sh_segments])
+            sd = jnp.concatenate([s[3] for s in sh_segments])
+            st = jnp.concatenate([s[4] for s in sh_segments])
+            sb = shadow_query(self.compiled, arrays, scene_id, so, sd, st)
+            off = 0
+            for li, idx, *_ in sh_segments:
+                seg = sb[off:off + cap]
+                off += cap
+                blocked_by_light[li] = scatter(
+                    jnp.zeros((N,), dtype=bool), idx, seg)
+        light_contribs = []
+        for li, l in enumerate(lights):
+            llen, ldir, active = light_pre[li]
+            if l.shadow and li in blocked_by_light:
+                active = active & ~blocked_by_light[li]
             falloff = 1.0 / jnp.maximum(llen * llen, 1e-20)
             contrib = jnp.where(active[:, None], lcol[li] * falloff[:, None], 0.0)
             light_contribs.append((contrib, ldir, active))
@@ -197,31 +216,43 @@ class Tracer:
     # -- secondary rays ----------------------------------------------------
 
     def _trace_children(self, arrays, scene_id, o, d, hit: Hit, lights, recurs):
+        """Secondary rays, wavefront style: every child ray targeting the
+        same (scene, light set) is compacted and concatenated into ONE
+        recursive trace per level -- reflection, each refraction
+        material, and warp-target rays ride the same batch, so the
+        unrolled program has O(depth) intersect passes rather than
+        O(children^depth)."""
         N = o.shape[0]
         cc = self.compiled
         out = {}
         cap = self._cap(N)
 
-        def masked_child(mask, co, cd, ctmax, cscene, clights):
-            idx = compact_indices(mask, cap)
-            res = self._trace(arrays, cscene, gather(co, idx), gather(cd, idx),
-                              None if ctmax is None else gather(ctmax, idx),
-                              clights, recurs - 1)
-            color = scatter(jnp.zeros((N, 4), dtype=o.dtype), idx, res.color)
-            t = scatter(jnp.full((N,), INFINITY, dtype=o.dtype), idx, res.t)
-            return color, t
+        # ---- round 1: portal frame traces (their own mini-scenes) -------
+        frame_results = {}
+        for wi, w in enumerate(cc.warp_mats):
+            active = hit.hit & self._stack_uses(hit.tex_stack,
+                                                self.warp_texids[wi])
+            idx = compact_indices(active, cap)
+            res = self._trace(arrays, w.frame_scene,
+                              gather(hit.obj_o, idx), gather(hit.obj_d, idx),
+                              None, lights, recurs - 1)
+            fcolor = scatter(jnp.zeros((N, 4), dtype=o.dtype), idx, res.color)
+            ft = scatter(jnp.full((N,), INFINITY, dtype=o.dtype), idx, res.t)
+            frame_results[wi] = (active, fcolor, ft)
 
-        needs_refl = self._stack_uses(hit.tex_stack, self.reflect_texids)
+        # ---- round 2: same-scene children, one union batch per target ---
+        specs = []  # (key, mask, o, d, tmax_or_None, scene, lights)
         if len(self.reflect_texids):
+            needs_refl = self._stack_uses(hit.tex_stack, self.reflect_texids)
             outdir = vreflect(d, hit.norm)
             ro = vscaleadd(hit.pos, outdir, DELTA)
-            color, _ = masked_child(hit.hit & needs_refl, ro, outdir, None,
-                                    scene_id, lights)
-            out["reflect"] = color
+            specs.append(("reflect", hit.hit & needs_refl, ro, outdir, None,
+                          scene_id, lights))
 
+        tir_by_mat = {}
         for mi, m in enumerate(cc.refract_mats):
             active = hit.hit & self._stack_uses(hit.tex_stack,
-                                               self.refract_texids[mi])
+                                                self.refract_texids[mi])
             n = hit.norm
             eta = jnp.where(vdot(n, -d) > 0.0, m.ior, 1.0 / m.ior)
             c1 = vdot(d, n)
@@ -230,28 +261,61 @@ class Tracer:
             tdir = d * eta[..., None] + n * (eta * c1 - jnp.sqrt(
                 jnp.maximum(cs2, 0.0)))[..., None]
             ro = vscaleadd(hit.pos, tdir, DELTA)
-            color, _ = masked_child(active & ~tir, ro, tdir, None,
-                                    scene_id, lights)
-            # total internal reflection -> opaque black (Shader.hs:138-139)
-            color = jnp.where((active & tir)[:, None],
-                              C.ca_black((N,), o.dtype), color)
-            out[("refract", mi)] = color
+            tir_by_mat[mi] = (active, tir)
+            specs.append((("refract", mi), active & ~tir, ro, tdir, None,
+                          scene_id, lights))
 
         for wi, w in enumerate(cc.warp_mats):
-            active = hit.hit & self._stack_uses(hit.tex_stack,
-                                               self.warp_texids[wi])
-            # frame trace: object-space stored ray vs the frame solid
-            # (Shader.hs:158-164 traces with the hit's riray)
-            fcolor, ft = masked_child(active, hit.obj_o, hit.obj_d, None,
-                                      w.frame_scene, lights)
-            # warped trace: xfm applied to Ray(pos, vnorm dir), capped at
-            # the frame hit depth (Shader.hs:165-171)
+            active, fcolor, ft = frame_results[wi]
             fwd = jnp.asarray(w.xfm.fwd, dtype=o.dtype)
             wo = jnp.einsum('ij,nj->ni', fwd[:, :3], hit.pos) + fwd[:, 3]
             wd = vnorm(jnp.einsum('ij,nj->ni', fwd[:, :3], vnorm(d)))
-            wcolor, wt = masked_child(active, wo, wd, ft, w.target_scene,
-                                      tuple(w.lights))
-            out[("warp", wi)] = (fcolor, ft, wcolor, wt)
+            specs.append((("warp_target", wi), active, wo, wd, ft,
+                          w.target_scene, tuple(w.lights)))
+
+        groups: Dict = {}
+        for spec in specs:
+            key = (spec[5], spec[6])
+            groups.setdefault(key, []).append(spec)
+
+        colors = {}
+        ts = {}
+        for (tscene, tlights), segs in groups.items():
+            idxs, os_, ds_, tms = [], [], [], []
+            for key, mask, co, cd, ctmax, _, _ in segs:
+                idx = compact_indices(mask, cap)
+                idxs.append((key, idx))
+                os_.append(gather(co, idx))
+                ds_.append(gather(cd, idx))
+                tms.append(jnp.full((cap,), INFINITY, dtype=o.dtype)
+                           if ctmax is None else gather(ctmax, idx))
+            res = self._trace(arrays, tscene, jnp.concatenate(os_),
+                              jnp.concatenate(ds_), jnp.concatenate(tms),
+                              tlights, recurs - 1)
+            off = 0
+            for key, idx in idxs:
+                colors[key] = scatter(jnp.zeros((N, 4), dtype=o.dtype), idx,
+                                      res.color[off:off + cap])
+                ts[key] = scatter(jnp.full((N,), INFINITY, dtype=o.dtype),
+                                  idx, res.t[off:off + cap])
+                off += cap
+
+        if "reflect" in colors:
+            out["reflect"] = colors["reflect"]
+        for mi in range(len(cc.refract_mats)):
+            key = ("refract", mi)
+            if key in colors:
+                color = colors[key]
+                active, tir = tir_by_mat[mi]
+                # total internal reflection -> opaque black (Shader.hs:138-139)
+                color = jnp.where((active & tir)[:, None],
+                                  C.ca_black((N,), o.dtype), color)
+                out[key] = color
+        for wi in range(len(cc.warp_mats)):
+            key = ("warp_target", wi)
+            if key in colors:
+                _, fcolor, ft = frame_results[wi]
+                out[("warp", wi)] = (fcolor, ft, colors[key], ts[key])
         return out
 
     # -- material evaluation (recursive over the static material tree) ----

@@ -1,0 +1,85 @@
+"""Host-side scene building / compiling structure checks (fast, no jit)."""
+
+import numpy as np
+
+import glome_tpu as G
+from glome_tpu.scenes import test_scene, simple_scene
+from glome_tpu.scenes.testscene import chessboard, icosahedron, coil, oak
+
+
+def test_primcount_parity_shape():
+    solid, lights, cam = test_scene()
+    prims, xfms, bounds = G.primcount(solid)
+    # lattice 9261 + oak (1023 cones + 1024 leaves) + chessboard 64 +
+    # spheres/planes of the polyhedra + portal + refract sphere
+    assert prims > 11000
+    assert xfms > 2000
+    assert bounds == 1023  # oak's manual bound spheres (Bound.hs)
+
+
+def test_testscene_compiles():
+    solid, lights, cam = test_scene()
+    compiled = G.compile_scene(solid, lights)
+    sc = compiled.scenes[0]
+    total = sum(g.size for g in sc.groups)
+    assert total == G.primcount(solid)[0]
+    # lattice spheres form an inline-constraint accelerated group
+    inline = [g for g in sc.groups if g.vclass == "inline"]
+    assert any(g.size >= 9261 and g.accel is not None for g in inline)
+    # the portal frame is its own sub-scene
+    assert len(compiled.scenes) == 2
+    assert len(compiled.warp_mats) == 1
+    assert compiled.warp_mats[0].target_scene == 0
+    # CSG objects: chessboard diff, dodeca+icosa intersections,
+    # lattice diff, portal frame diff
+    kinds = sorted(c.kind for c in sc.csgs)
+    assert kinds.count("difference") == 3
+    assert kinds.count("intersection") == 2
+    assert "dodecahedron" in compiled.tag_names
+    assert "tree" in compiled.tag_names
+
+
+def test_instance_merging():
+    s = G.transform(G.transform(G.sphere((1, 0, 0), 1.0),
+                                [G.scale((2, 1, 1))]),
+                    [G.translate((0, 5, 0))])
+    # nested transforms collapse into one Instance (Solid.hs:494-496)
+    from glome_tpu.solids import Instance, Sphere
+    assert isinstance(s, Instance)
+    assert isinstance(s.item, Sphere)
+    np.testing.assert_allclose(s.xfm.point([1, 0, 0]), [2, 5, 0], atol=1e-9)
+
+
+def test_sphere_baking_under_uniform_scale():
+    s = G.transform(G.sphere((1, 0, 0), 1.0),
+                    [G.rotate((0, 0, 1), G.deg(90)), G.scale((2, 2, 2))])
+    compiled = G.compile_scene(s, ())
+    g = compiled.scenes[0].groups[0]
+    assert g.m_inv is None  # baked, not matrix-traced
+    np.testing.assert_allclose(g.params["center"][0], [0, 2, 0], atol=1e-6)
+    np.testing.assert_allclose(g.params["radius"][0], 2.0)
+
+
+def test_nonuniform_sphere_keeps_matrix():
+    s = G.transform(G.sphere((0, 0, 0), 1.0), [G.scale((1, 0.4, 1))])
+    compiled = G.compile_scene(s, ())
+    g = compiled.scenes[0].groups[0]
+    assert g.m_inv is not None
+
+
+def test_mesh_expansion():
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], float)
+    tris = np.array([[0, 1, 2, -1, -1, -1, -1, -1],
+                     [1, 3, 2, -1, -1, -1, -1, -1]], np.int32)
+    m = G.mesh(verts, None, tris)
+    compiled = G.compile_scene(m, ())
+    g = compiled.scenes[0].groups[0]
+    assert g.ptype == "triangle" and g.size == 2
+    # mesh triangles don't cast shadows (reference Mesh.hs:210)
+    assert g.noshadow.all()
+
+
+def test_group_flattening_and_void():
+    s = G.group([G.group([]), G.sphere((0, 0, 0), 1)])
+    from glome_tpu.solids import Sphere
+    assert isinstance(s, Sphere)  # single-item group collapses
