@@ -17,8 +17,31 @@ import numpy as np
 BASELINE_MRAYS = 0.7  # best implied reference throughput (BASELINE.md)
 
 
+def _init_jax():
+    """The axon TPU tunnel registers flakily under 'axon' vs 'tpu';
+    try the configured platform then sane fallbacks."""
+    import os
+    for plat in (os.environ.get("JAX_PLATFORMS"), "tpu", "axon", "cpu", ""):
+        if plat is None:
+            continue
+        os.environ["JAX_PLATFORMS"] = plat
+        try:
+            import jax
+            devs = jax.devices()
+            print(f"# platform {plat or 'auto'}: {devs}", file=sys.stderr)
+            return jax
+        except Exception as e:  # noqa: BLE001
+            print(f"# platform {plat!r} failed: {e}", file=sys.stderr)
+            import jax.extend
+            try:
+                jax._src.xla_bridge.backends.cache_clear()
+            except Exception:
+                pass
+    raise RuntimeError("no jax backend available")
+
+
 def main():
-    import jax
+    jax = _init_jax()
     import glome_tpu as G
     from glome_tpu.scenes import test_scene
     from glome_tpu.config import RenderConfig

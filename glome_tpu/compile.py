@@ -46,6 +46,11 @@ TAG_DEPTH = 4
 # difference-B solids and members of wide intersections).
 CHEAP_CONSTRAINTS_MAX = 8
 
+# groups at or below this size are intersected by dense brute force (a
+# lockstep scan over prim chunks): on a TPU dense VPU work beats
+# divergent per-tile tree traversal until several thousand prims.
+ACCEL_MIN_SIZE = 4096
+
 # primitive type tags (group order is irrelevant; kernels dispatch on this)
 PTYPES = ("sphere", "plane", "box", "triangle", "trianglenorm", "disc",
           "cylinder", "cone")
@@ -471,6 +476,118 @@ class Compiler:
 
     # -- packing ----------------------------------------------------------
 
+    # -- compile-time CSG simplification ----------------------------------
+
+    @staticmethod
+    def _record_bounds(rec: _PrimRecord):
+        """Host-side world AABB of one prim record, or None if unbounded."""
+        p = {k: np.asarray(v, dtype=np.float64) for k, v in rec.params.items()}
+        t = rec.ptype
+        if t == "sphere":
+            bmin = p["center"] - p["radius"]
+            bmax = p["center"] + p["radius"]
+        elif t == "box":
+            bmin, bmax = p["bmin"], p["bmax"]
+        elif t in ("triangle", "trianglenorm"):
+            pts = np.stack([p["p1"], p["p2"], p["p3"]])
+            bmin, bmax = pts.min(0), pts.max(0)
+        elif t == "disc":
+            r = np.sqrt(p["rsqr"])
+            bmin, bmax = p["pos"] - r, p["pos"] + r
+        elif t == "cylinder":
+            r = p["radius"]
+            bmin = np.array([-r, -r, p["h1"]]).reshape(3)
+            bmax = np.array([r, r, p["h2"]]).reshape(3)
+        elif t == "cone":
+            r = p["radius"]
+            bmin = np.array([-r, -r, p["clip1"]]).reshape(3)
+            bmax = np.array([r, r, p["clip2"]]).reshape(3)
+        else:
+            return None  # plane: unbounded
+        if rec.fwd is not None:
+            fwd = np.asarray(rec.fwd, dtype=np.float64)
+            corners = np.array([[bmin[0] if i & 1 else bmax[0],
+                                 bmin[1] if i & 2 else bmax[1],
+                                 bmin[2] if i & 4 else bmax[2]]
+                                for i in range(8)])
+            w = corners @ fwd[:, :3].T + fwd[:, 3]
+            bmin, bmax = w.min(0), w.max(0)
+        return np.asarray(bmin).reshape(3), np.asarray(bmax).reshape(3)
+
+    @staticmethod
+    def _record_contains(rec: _PrimRecord, pts: np.ndarray, margin=1e-6):
+        """True if every point is strictly inside the (convex) solid;
+        None when the type has no volume or is unsupported."""
+        if rec.ptype in ("triangle", "trianglenorm", "disc", "plane"):
+            if rec.ptype != "plane":
+                return None
+        pts = np.asarray(pts, dtype=np.float64)
+        if rec.inv is not None:
+            inv = np.asarray(rec.inv, dtype=np.float64)
+            pts = pts @ inv[:, :3].T + inv[:, 3]
+        p = {k: np.asarray(v, dtype=np.float64) for k, v in rec.params.items()}
+        t = rec.ptype
+        if t == "sphere":
+            d = np.linalg.norm(pts - p["center"], axis=-1)
+            return bool(np.all(d < p["radius"] - margin))
+        if t == "box":
+            return bool(np.all((pts > p["bmin"] + margin)
+                               & (pts < p["bmax"] - margin)))
+        if t == "plane":
+            return bool(np.all(pts @ p["norm"] < p["offset"] - margin))
+        if t == "cylinder":
+            r2 = (p["radius"] - margin) ** 2
+            ok = (pts[:, 2] > p["h1"] + margin) & (pts[:, 2] < p["h2"] - margin)
+            return bool(np.all(ok & (pts[:, 0]**2 + pts[:, 1]**2 < r2)))
+        if t == "cone":
+            rz = p["radius"] * (1.0 - (pts[:, 2] - p["clip1"]) / p["height"])
+            ok = (pts[:, 2] > p["clip1"] + margin) & (pts[:, 2] < p["clip2"] - margin)
+            return bool(np.all(ok & (pts[:, 0]**2 + pts[:, 1]**2
+                                     < (rz - margin)**2)))
+        return None
+
+    def _simplify_csg(self, build: _SceneBuild):
+        """Static difference simplification: an A member wholly inside
+        the subtracted set can never contribute a valid surface (its
+        entire boundary fails `not inside B`, Csg.hs:38) -- drop it.  An
+        A member whose bounds are disjoint from B's bounds always passes
+        the check -- relax it to a plain prim.  This is what restores
+        BVH culling for subtractions like TestScene's lattice-minus-
+        sphere (TestScene.hs:191-193)."""
+        by_serial = {r.serial: r for r in build.prims}
+        dropped = set()
+        for cid, (kind, useatex, clause_serials, signs) in enumerate(build.csgs):
+            if kind != "difference" or len(clause_serials) != 2:
+                continue
+            b_recs = [by_serial[s] for s in clause_serials[1]]
+            b_bounds = [self._record_bounds(r) for r in b_recs]
+            for s0 in list(clause_serials[0]):
+                rec = by_serial[s0]
+                bb = self._record_bounds(rec)
+                if bb is None:
+                    continue
+                corners = np.array([[bb[0][0] if i & 1 else bb[1][0],
+                                     bb[0][1] if i & 2 else bb[1][1],
+                                     bb[0][2] if i & 4 else bb[1][2]]
+                                    for i in range(8)])
+                inside_some = any(self._record_contains(br, corners) is True
+                                  for br in b_recs)
+                if inside_some:
+                    dropped.add(s0)
+                    continue
+                disjoint_all = all(
+                    bbb is not None
+                    and (np.any(bb[1] < bbb[0]) or np.any(bb[0] > bbb[1]))
+                    for bbb in b_bounds)
+                if disjoint_all:
+                    rec.csg_id = -1
+                    rec.clause_id = -1
+            if dropped:
+                clause_serials[0] = [s for s in clause_serials[0]
+                                     if s not in dropped]
+        if dropped:
+            build.prims = [r for r in build.prims if r.serial not in dropped]
+
     def _vclass_key(self, build: _SceneBuild, rec: _PrimRecord):
         """Validity class for acceleration grouping: plain prims and
         positive-clause CSG prims with small other-clause scans are BVH
@@ -485,11 +602,13 @@ class Compiler:
             return ("inline", (rec.csg_id, own))
         return ("deferred", None)
 
-    def pack(self, lights: Sequence[Light]) -> CompiledScene:
+    def pack(self, lights: Sequence[Light],
+             accel_min_size: int = ACCEL_MIN_SIZE) -> CompiledScene:
         packed_scenes = []
         serial_loc: Dict[int, Tuple[int, int, int]] = {}
         group_builds = []
         for si, build in enumerate(self.scenes):
+            self._simplify_csg(build)
             groups: Dict[tuple, List[_PrimRecord]] = {}
             for rec in build.prims:
                 vkey = self._vclass_key(build, rec)
@@ -566,7 +685,7 @@ class Compiler:
                     cons.append((signs[ci], members))
                 g.constraints = cons
             if (g.ptype != "plane" and g.vclass != "deferred"
-                    and g.size >= 8):
+                    and g.size > accel_min_size):
                 bmin, bmax = _accel.group_bounds(g)
                 g.accel = _accel.build_bvh(bmin, bmax)
 
@@ -605,9 +724,13 @@ class Compiler:
         )
 
 
-def compile_scene(solid: S.Solid, lights: Sequence[Light] = ()) -> CompiledScene:
-    """Compile a solid DAG (+ lights) into flattened SoA tables."""
+def compile_scene(solid: S.Solid, lights: Sequence[Light] = (),
+                  accel_min_size: int = ACCEL_MIN_SIZE) -> CompiledScene:
+    """Compile a solid DAG (+ lights) into flattened SoA tables.
+
+    Groups larger than accel_min_size get a BVH; smaller groups are
+    intersected by a dense prim-chunk scan (faster on TPU)."""
     c = Compiler()
     root = c.compile_scene_solid(solid)
     assert root == 0
-    return c.pack(lights)
+    return c.pack(lights, accel_min_size=accel_min_size)

@@ -163,14 +163,112 @@ def _inline_valid(sc, garrs, constraints, pts):
     return ok
 
 
-def bvh_pass(sc, garrs, gi, o, d, seed_t, shadow: bool):
-    """Skip-link BVH traversal over one accelerated group.
+TILE = 256  # rays per traversal packet
 
-    All rays advance in lockstep through a single while loop; per step
-    each ray gathers one node, slab-tests it against its running best
-    distance, tests <= LEAF_MAX leaf prims, and follows the hit (+1) or
-    skip link.  Returns (t, local_idx, slot) with t == seed where the
-    group found nothing better.  See accel.py for the structure.
+
+def brute_scan(sc, garrs, gi, o, d, seed_t, shadow: bool, chunk: int = 256):
+    """Dense intersection of one plain/inline group via lax.scan over
+    prim chunks.
+
+    On a TPU, lockstep dense tests of a few thousand prims against the
+    whole ray batch outperform divergent tree traversal: the work is
+    pure VPU math with zero gathers and zero control flow.  Groups
+    above ACCEL_MIN_SIZE use the tile-packet BVH instead.  The scan
+    only *selects* (best t, prim); the winner is re-evaluated
+    differentiably in _finalize_winner.
+    """
+    import jax
+
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    seed_t = jax.lax.stop_gradient(seed_t)
+    garrs = jax.tree.map(jax.lax.stop_gradient, garrs)
+
+    g = sc.groups[gi]
+    ga = garrs[gi]
+    P = g.size
+    if g.constraints:
+        chunk = min(chunk, 64)
+    chunk = min(chunk, P)
+    C = (P + chunk - 1) // chunk
+    padP = C * chunk - P
+    transformed = g.m_inv is not None
+
+    def stack(v, fill=0.0):
+        if padP:
+            v = jnp.concatenate(
+                [v, jnp.full((padP,) + v.shape[1:], fill, v.dtype)])
+        return v.reshape((C, chunk) + v.shape[1:])
+
+    params_s = {k: stack(v) for k, v in ga.items()
+                if k not in ("m_inv", "m_fwd")}
+    xs = {"params": params_s,
+          "local": stack(jnp.arange(P, dtype=jnp.int32), fill=0)}
+    vis_np = (~g.noshadow) if shadow else (~g.onlyshadow)
+    if padP:
+        vis_np = np.concatenate([vis_np, np.zeros(padP, bool)])
+    xs["vis"] = jnp.asarray(vis_np.reshape(C, chunk))
+    if transformed:
+        xs["m_inv"] = stack(ga["m_inv"])
+
+    N = o.shape[0]
+    o1 = o[:, None, :]
+    d1 = d[:, None, :]
+
+    def step(carry, x):
+        bt, bl = carry
+        prow = x["params"]
+        if transformed:
+            minv = x["m_inv"][None]                      # (1, chunk, 3, 4)
+            oo = apply_point(minv, o1)                   # (N, chunk, 3)
+            dd = apply_vector(minv, d1)
+            ils = 1.0 / jnp.sqrt(jnp.sum(dd * dd, axis=-1))
+            du = dd * ils[..., None]
+            t0c, _, t1c, _ = _kernel_hits2(g.ptype, prow, oo, du)
+            t0c = jnp.where(t0c >= INFINITY, INFINITY, t0c * ils)
+            t1c = jnp.where(t1c >= INFINITY, INFINITY, t1c * ils)
+        else:
+            t0c, _, t1c, _ = _kernel_hits2(g.ptype, prow, o1, d1)
+        test = x["vis"][None, :]
+        v0 = test & (t0c > 0.0) & (t0c < bt[:, None])
+        v1 = test & (t1c > 0.0) & (t1c < bt[:, None])
+        if g.constraints:
+            x0 = vscaleadd(o1, d1, t0c)
+            x1 = vscaleadd(o1, d1, t1c)
+            pts = jnp.stack([x0, x1], axis=2)            # (N, chunk, 2, 3)
+            okc = _inline_valid(sc, garrs, g.constraints, pts)
+            v0 = v0 & okc[..., 0]
+            v1 = v1 & okc[..., 1]
+        tc = jnp.where(v0, t0c, jnp.where(v1, t1c, INFINITY))
+        arg = jnp.argmin(tc, axis=-1)
+        tbest = jnp.take_along_axis(tc, arg[:, None], axis=-1)[:, 0]
+        lbest = x["local"][arg]
+        better = tbest < bt
+        bt = jnp.where(better, tbest, bt)
+        bl = jnp.where(better, lbest, bl)
+        return (bt, bl), None
+
+    init = (seed_t, jnp.full((N,), -1, dtype=jnp.int32))
+    (bt, bl), _ = jax.lax.scan(step, init, xs)
+    return bt, bl
+
+
+def bvh_pass(sc, garrs, gi, o, d, seed_t, shadow: bool, tile: int = TILE):
+    """Tile-packet skip-link BVH traversal over one accelerated group.
+
+    TPU-native traversal design: per-ray node pointers would need a
+    gather of node data per ray per step, and random gathers are the
+    slowest primitive on a TPU.  Instead rays are grouped into tiles of
+    `tile` coherent rays sharing ONE node pointer (the reference's
+    4-wide ray packets, Bih.hs:428-508, scaled to hundreds): each step
+    gathers one node row per *tile* (tiny), slab-tests it against the
+    whole tile densely on the VPU, and the tile advances into the
+    subtree iff any live ray hit the node box.  Leaf prims are tested
+    tile-wide.  Per-ray early termination happens through the running
+    best-t in the slab test mask.
+
+    Returns (t, local_idx, slot) flattened back to N rays, t == seed
+    where nothing better was found.
     """
     import jax
 
@@ -188,6 +286,20 @@ def bvh_pass(sc, garrs, gi, o, d, seed_t, shadow: bool):
     bvh = g.accel
     N = o.shape[0]
     M = bvh.n_nodes
+    K = min(tile, max(N, 1))
+    T = (N + K - 1) // K
+    pad = T * K - N
+
+    def tl(x, fill=0.0):
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)])
+        return x.reshape((T, K) + x.shape[1:])
+
+    ot = tl(o)
+    dt_ = tl(d, fill=1.0)
+    bt0 = tl(seed_t, fill=0.0)  # padded rays: best 0 -> never hit
+
     nb_min = jnp.asarray(bvh.bmin)
     nb_max = jnp.asarray(bvh.bmax)
     leaf_start = jnp.asarray(bvh.leaf_start)
@@ -199,73 +311,89 @@ def bvh_pass(sc, garrs, gi, o, d, seed_t, shadow: bool):
     vis_np = (~g.noshadow) if shadow else (~g.onlyshadow)
     vis = jnp.asarray(vis_np)
 
-    safe_d = jnp.where(d == 0.0, 1e-20, d)
+    safe_d = jnp.where(dt_ == 0.0, 1e-20, dt_)
     inv_d = 1.0 / safe_d
 
     from .accel import LEAF_MAX
 
-    def body(state):
-        idx, bt, bl, bs = state
-        nidx = jnp.clip(idx, 0, M - 1)
-        bmin = nb_min[nidx]
-        bmax = nb_max[nidx]
-        t1 = (bmin - o) * inv_d
-        t2 = (bmax - o) * inv_d
-        near = jnp.max(jnp.minimum(t1, t2), axis=-1)
-        far = jnp.min(jnp.maximum(t1, t2), axis=-1)
-        live = idx < M
-        hitb = live & (near <= far) & (far > 0.0) & (near < bt)
-        lc = leaf_count[nidx]
-        ls = leaf_start[nidx]
+    def expand(prow):
+        """Broadcast per-tile prim rows (T, ...) against tile rays (T, K)."""
+        return {k: v[:, None] for k, v in prow.items()}
+
+    def leaf_tests(args):
+        is_leaf, hitr, lc, ls, bt, bl = args
         for k in range(LEAF_MAX):
             pid = jnp.clip(ls + k, 0, max(n_order - 1, 0))
-            local = order[pid]
-            test = hitb & (k < lc) & vis[local]
-            prow = _gather_params(ga, local)
+            local = order[pid]                                # (T,)
+            test = (is_leaf & (k < lc) & vis[local])[:, None] & hitr
+            prow = expand(_gather_params(ga, local))
             if transformed:
-                minv = ga["m_inv"][local]
-                oo = apply_point(minv, o)
-                dd = apply_vector(minv, d)
+                minv = ga["m_inv"][local][:, None]            # (T, 1, 3, 4)
+                oo = apply_point(minv, ot)
+                dd = apply_vector(minv, dt_)
                 ils = 1.0 / jnp.sqrt(jnp.sum(dd * dd, axis=-1))
                 du = dd * ils[..., None]
                 t0c, _, t1c, _ = _kernel_hits2(g.ptype, prow, oo, du)
                 t0c = jnp.where(t0c >= INFINITY, INFINITY, t0c * ils)
                 t1c = jnp.where(t1c >= INFINITY, INFINITY, t1c * ils)
             else:
-                t0c, _, t1c, _ = _kernel_hits2(g.ptype, prow, o, d)
+                t0c, _, t1c, _ = _kernel_hits2(g.ptype, prow, ot, dt_)
             v0 = test & (t0c > 0.0) & (t0c < bt)
             v1 = test & (t1c > 0.0) & (t1c < bt)
             if g.constraints:
-                x0 = vscaleadd(o, d, t0c)
-                x1 = vscaleadd(o, d, t1c)
-                pts = jnp.stack([x0, x1], axis=1)
+                x0 = vscaleadd(ot, dt_, t0c)
+                x1 = vscaleadd(ot, dt_, t1c)
+                pts = jnp.stack([x0, x1], axis=2)             # (T, K, 2, 3)
                 okc = _inline_valid(sc, garrs, g.constraints, pts)
-                v0 = v0 & okc[:, 0]
-                v1 = v1 & okc[:, 1]
+                v0 = v0 & okc[..., 0]
+                v1 = v1 & okc[..., 1]
             tc = jnp.where(v0, t0c, jnp.where(v1, t1c, INFINITY))
-            slot = jnp.where(v0, 0, 1).astype(jnp.int32)
             better = tc < bt
             bt = jnp.where(better, tc, bt)
-            bl = jnp.where(better, local, bl)
-            bs = jnp.where(better, slot, bs)
+            bl = jnp.where(better, local[:, None], bl)
+        return bt, bl
+
+    def body(state):
+        idx, bt, bl = state
+        nidx = jnp.clip(idx, 0, M - 1)                       # (T,)
+        bmin = nb_min[nidx][:, None, :]                      # (T, 1, 3)
+        bmax = nb_max[nidx][:, None, :]
+        t1 = (bmin - ot) * inv_d                             # (T, K, 3)
+        t2 = (bmax - ot) * inv_d
+        near = jnp.max(jnp.minimum(t1, t2), axis=-1)         # (T, K)
+        far = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        live = idx < M                                       # (T,)
+        hitr = (near <= far) & (far > 0.0) & (near < bt)     # (T, K)
+        hitb = live & jnp.any(hitr, axis=-1)                 # (T,)
+        lc = leaf_count[nidx]
+        ls = leaf_start[nidx]
+        is_leaf = hitb & (lc > 0)
+        # most steps touch inner nodes only; skip the (expensive) leaf
+        # primitive tests entirely on those steps
+        bt, bl = jax.lax.cond(
+            jnp.any(is_leaf),
+            leaf_tests,
+            lambda args: (args[4], args[5]),
+            (is_leaf, hitr, lc, ls, bt, bl))
         nxt = jnp.where(hitb, idx + 1, skip[nidx])
         if shadow:
-            # any-hit: a ray that already found a blocker can stop
-            nxt = jnp.where(bt < seed_t, M, nxt)
+            # any-hit: a tile whose every ray found a blocker can stop
+            nxt = jnp.where(jnp.all(bt < bt0, axis=-1), M, nxt)
         idx = jnp.where(live, nxt, idx)
-        return idx, bt, bl, bs
+        return idx, bt, bl
 
     def cond(state):
         return jnp.any(state[0] < M)
 
-    state0 = (jnp.zeros((N,), dtype=jnp.int32), seed_t,
-              jnp.full((N,), -1, dtype=jnp.int32),
-              jnp.zeros((N,), dtype=jnp.int32))
-    _, bt, bl, bs = jax.lax.while_loop(cond, body, state0)
-    return bt, bl, bs
+    state0 = (jnp.zeros((T,), dtype=jnp.int32), bt0,
+              jnp.full((T, K), -1, dtype=jnp.int32))
+    _, bt, bl = jax.lax.while_loop(cond, body, state0)
+    bt = bt.reshape(-1)[:N]
+    bl = bl.reshape(-1)[:N]
+    return bt, bl
 
 
-def _finalize_bvh_winner(sc, garrs, gi, o, d, t, local, slot):
+def _finalize_winner(sc, garrs, gi, o, d, t, local):
     """Recompute the winning candidate's normal / object ray / metadata
     for rays whose global best came from BVH group gi."""
     g = sc.groups[gi]
@@ -285,7 +413,9 @@ def _finalize_bvh_winner(sc, garrs, gi, o, d, t, local, slot):
     else:
         oo, du = o, d
         t0c, n0, t1c, n1 = _kernel_hits2(g.ptype, prow, o, d)
-    # differentiable re-evaluation of the traversal's chosen distance
+    # which crossing won: re-derive by distance, then re-evaluate it
+    # differentiably
+    slot = jnp.where(jnp.abs(t0c - t) <= jnp.abs(t1c - t), 0, 1)
     tsel = jnp.where(slot == 0, t0c, t1c)
     tsel = jnp.where(jnp.abs(tsel - t) < 1e-2 * (1.0 + jnp.abs(t)), tsel, t)
     n = jnp.where((slot == 0)[:, None], n0, n1)
@@ -326,6 +456,8 @@ def intersect(compiled: CompiledScene, arrays, scene_id: int,
     for gi, g in enumerate(sc.groups):
         if g.accel is not None:
             continue  # BVH pass below
+        if g.vclass != "deferred":
+            continue  # dense brute_scan pass below
         ga = garrs[gi]
         for start in range(0, g.size, prim_chunk):
             sl = slice(start, min(start + prim_chunk, g.size))
@@ -450,19 +582,23 @@ def intersect(compiled: CompiledScene, arrays, scene_id: int,
             best_neg = jnp.where(upd, flip, best_neg)
             best_t = jnp.where(upd, tbest, best_t)
 
-    # accelerated groups: sequential BVH passes, each seeded with the
-    # running best so later passes cull against earlier hits
+    # plain/inline groups: dense scan or tile-packet BVH, sequential,
+    # each seeded with the running best so later passes cull against
+    # earlier hits
     for gi, g in enumerate(sc.groups):
-        if g.accel is None:
+        if g.vclass == "deferred" or g.size == 0:
             continue
         seed = jnp.minimum(best_t, tmax)
-        bt, bl, bs = bvh_pass(sc, garrs, gi, o, d, seed, shadow)
+        if g.accel is not None:
+            bt, bl = bvh_pass(sc, garrs, gi, o, d, seed, shadow)
+        else:
+            bt, bl = brute_scan(sc, garrs, gi, o, d, seed, shadow)
         upd = bt < seed
         if shadow:
             best_t = jnp.where(upd, bt, best_t)
             continue
         tsel, n, oo_sel, du_sel, tex_sel, tag_sel, ser_sel = \
-            _finalize_bvh_winner(sc, garrs, gi, o, d, bt, bl, bs)
+            _finalize_winner(sc, garrs, gi, o, d, bt, bl)
         best_t = jnp.where(upd, tsel, best_t)
         best_norm = jnp.where(upd[:, None], n, best_norm)
         best_obj_o = jnp.where(upd[:, None], oo_sel, best_obj_o)
@@ -479,11 +615,21 @@ def intersect(compiled: CompiledScene, arrays, scene_id: int,
 
     if not shadow:
         # retexture difference-B winners with useatex from the first
-        # containing A member's local stacks (Csg.hs:38-41)
+        # containing A member's local stacks (Csg.hs:38-41).  Affected
+        # rays are rare, so the (possibly large) A-member scan runs on a
+        # compacted subset only.
         for cid_all, csg in _all_useatex(sc):
             mask = hit & best_neg & (best_csg == cid_all)
             clause0 = csg.clauses[0]
-            found, ordn = clause_first_inside(sc, garrs, clause0, pos)
+            if not clause0.members:
+                continue  # A side entirely simplified away
+            cap = max(64, N // 8)
+            (ridx,) = jnp.nonzero(mask, size=cap, fill_value=N)
+            cpos = jnp.take(pos, ridx, axis=0, mode='fill', fill_value=0.0)
+            found_c, ordn_c = clause_first_inside(sc, garrs, clause0, cpos)
+            found = jnp.zeros((N,), bool).at[ridx].set(found_c, mode='drop')
+            ordn = jnp.zeros((N,), jnp.int32).at[ridx].set(ordn_c,
+                                                           mode='drop')
             ltex, ltag = _clause_local_stacks(sc, clause0)
             new_tex = jnp.asarray(ltex)[ordn]
             new_tag = jnp.asarray(ltag)[ordn]

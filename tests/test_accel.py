@@ -38,7 +38,7 @@ def _rays(seed, n=128):
 
 
 def test_bvh_matches_brute_force():
-    compiled = G.compile_scene(_rand_scene(), ())
+    compiled = G.compile_scene(_rand_scene(), (), accel_min_size=16)
     arrays = compiled.arrays()
     assert any(g.accel is not None for g in compiled.scenes[0].groups)
 
@@ -73,7 +73,7 @@ def test_bvh_with_inline_csg_and_shadow():
     items = [G.sphere((x, y, z), 0.3)
              for x in range(-3, 4) for y in range(-3, 4) for z in range(-3, 4)]
     s = G.difference(G.group(items), G.sphere((0, 0, 0), 2.5))
-    compiled = G.compile_scene(s, ())
+    compiled = G.compile_scene(s, (), accel_min_size=16)
     arrays = compiled.arrays()
     sc = compiled.scenes[0]
     inline = [g for g in sc.groups if g.vclass == "inline"]
@@ -111,7 +111,7 @@ def test_bvh_with_inline_csg_and_shadow():
 def test_gradients_through_accelerated_scene():
     # grads must flow to prim params even when the group is BVH-traversed
     # (the traversal selects; the finalize pass recomputes differentiably)
-    compiled = G.compile_scene(_rand_scene(seed=3, n=60), ())
+    compiled = G.compile_scene(_rand_scene(seed=3, n=60), (), accel_min_size=16)
     arrays = compiled.arrays()
     assert any(g.accel is not None for g in compiled.scenes[0].groups)
     o, d = _rays(4, n=32)
