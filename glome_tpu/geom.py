@@ -97,16 +97,20 @@ def box_hits2(bmin, bmax, o, d):
     lastin = jnp.max(tin, axis=-1)
     firstout = jnp.min(tout, axis=-1)
     ok = lastin <= firstout
-    # entry face: the axis achieving lastin, normal opposing d
-    axes = jnp.argmax(tin, axis=-1)
-    eye = jnp.eye(3, dtype=o.dtype)
+    # face normals without gathers (one-hot of the deciding axis with
+    # first-match tie-breaking; keeps the kernel Pallas/Mosaic-lowerable)
     sgn = jnp.sign(d)
     sgn = jnp.where(sgn == 0.0, 1.0, sgn)
-    n0 = -jnp.take(eye, axes, axis=0) * jnp.take_along_axis(
-        sgn, axes[..., None], axis=-1)
-    axes1 = jnp.argmin(tout, axis=-1)
-    n1 = jnp.take(eye, axes1, axis=0) * jnp.take_along_axis(
-        sgn, axes1[..., None], axis=-1)
+    def onehot_first(m):
+        m0 = m[..., 0]
+        m1 = m[..., 1] & ~m0
+        m2 = m[..., 2] & ~m0 & ~m1
+        return jnp.stack([m0, m1, m2], axis=-1)
+
+    m_in = onehot_first(tin == lastin[..., None])
+    n0 = -jnp.where(m_in, sgn, 0.0)
+    m_out = onehot_first(tout == firstout[..., None])
+    n1 = jnp.where(m_out, sgn, 0.0)
     t0 = jnp.where(ok, lastin, INF)
     t1 = jnp.where(ok, firstout, INF)
     return t0, n0, t1, n1

@@ -253,6 +253,39 @@ def brute_scan(sc, garrs, gi, o, d, seed_t, shadow: bool, chunk: int = 256):
     return bt, bl
 
 
+def dense_pass(sc, garrs, gi, o, d, seed_t, shadow: bool):
+    """Dense group intersection: the Pallas VMEM-tiled kernel on TPU,
+    the lax.scan fallback elsewhere (identical semantics)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return brute_scan(sc, garrs, gi, o, d, seed_t, shadow)
+
+    from . import pallas_kernels as PK
+    g = sc.groups[gi]
+    sg = jax.lax.stop_gradient
+    ga = jax.tree.map(sg, garrs[gi])
+    pm = PK.pack_params_T(g.ptype, {k: v for k, v in ga.items()
+                                    if k not in ("m_inv", "m_fwd")})
+    minv = ga.get("m_inv")
+    vis_np = ((~g.noshadow) if shadow else (~g.onlyshadow)).astype(np.float32)
+    cons = []
+    for positive, members in (g.constraints or []):
+        ms = []
+        for gi2, idx in members:
+            g2 = sc.groups[gi2]
+            ga2 = jax.tree.map(sg, garrs[gi2])
+            cmat = PK.pack_params_rows(g2.ptype,
+                                       {k: ga2[k][idx] for k in ga2
+                                        if k not in ("m_inv", "m_fwd")})
+            cmi = (ga2["m_inv"][idx].reshape(len(idx), 12)
+                   if g2.m_inv is not None else None)
+            ms.append((g2.ptype, cmat, cmi))
+        cons.append((positive, ms))
+    return PK.dense_intersect(g.ptype, pm, minv, jnp.asarray(vis_np), cons,
+                              sg(o), sg(d), sg(seed_t))
+
+
 def bvh_pass(sc, garrs, gi, o, d, seed_t, shadow: bool, tile: int = TILE):
     """Tile-packet skip-link BVH traversal over one accelerated group.
 
@@ -592,7 +625,7 @@ def intersect(compiled: CompiledScene, arrays, scene_id: int,
         if g.accel is not None:
             bt, bl = bvh_pass(sc, garrs, gi, o, d, seed, shadow)
         else:
-            bt, bl = brute_scan(sc, garrs, gi, o, d, seed, shadow)
+            bt, bl = dense_pass(sc, garrs, gi, o, d, seed, shadow)
         upd = bt < seed
         if shadow:
             best_t = jnp.where(upd, bt, best_t)

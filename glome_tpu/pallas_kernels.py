@@ -1,0 +1,405 @@
+"""Pallas TPU kernels: dense ray x prim intersection.
+
+The jnp dense path (intersect.brute_scan) is memory-bound: XLA
+materializes (N, chunk) candidate arrays in HBM every scan step.  This
+kernel blocks the work onto VMEM tiles and -- crucially -- lays data
+out the way the VPU wants it: rays down the sublane axis, prims across
+the 128-lane axis, and every xyz component as its own (BN, BP) plane.
+(Trailing-3 "vector" axes would land xyz in the lane dimension and
+idle 125 of 128 lanes.)  Params are stored transposed (F, P) so a
+field slice is a natural (1, BP) lane row.
+
+The per-ray best (t, prim) accumulates in the output block across the
+inner grid axis like a matmul K loop.  Inline CSG constraint prims
+(compile.py) arrive as small SMEM tables of scalars.
+
+Like the traversal passes, this kernel only SELECTS; the winner is
+re-evaluated differentiably by intersect._finalize_winner, keeping the
+renderer differentiable end to end.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .config import INFINITY
+
+BN = 256   # rays per tile (sublanes x 32)
+BP = 128   # prims per tile (one lane row)
+
+INF = INFINITY
+
+# per-ptype parameter field order for the packed (F, P) matrix
+FIELDS = {
+    "sphere": [("center", 3), ("radius", 1)],
+    "plane": [("norm", 3), ("offset", 1)],
+    "box": [("bmin", 3), ("bmax", 3)],
+    "triangle": [("p1", 3), ("p2", 3), ("p3", 3)],
+    "trianglenorm": [("p1", 3), ("p2", 3), ("p3", 3),
+                     ("n1", 3), ("n2", 3), ("n3", 3)],
+    "disc": [("pos", 3), ("norm", 3), ("rsqr", 1)],
+    "cylinder": [("radius", 1), ("h1", 1), ("h2", 1)],
+    "cone": [("radius", 1), ("clip1", 1), ("clip2", 1), ("height", 1)],
+}
+
+
+def field_count(ptype):
+    return sum(w for _, w in FIELDS[ptype])
+
+
+def pack_params_T(ptype: str, params: dict) -> jnp.ndarray:
+    """Pack a group's param dict into a transposed (F, P) matrix."""
+    rows = []
+    for name, width in FIELDS[ptype]:
+        v = params[name]
+        v2 = v.reshape(v.shape[0], -1) if v.ndim > 1 else v[:, None]
+        rows.append(v2.T)
+    return jnp.concatenate(rows, axis=0)
+
+
+def pack_params_rows(ptype: str, params: dict) -> jnp.ndarray:
+    """Row-major (M, F) packing (for small SMEM constraint tables)."""
+    cols = []
+    for name, width in FIELDS[ptype]:
+        v = params[name]
+        cols.append(v.reshape(v.shape[0], -1) if v.ndim > 1 else v[:, None])
+    return jnp.concatenate(cols, axis=-1)
+
+
+# --- component-wise primitive candidate kernels ---------------------------
+# Each takes a field accessor p(k) -> (1, BP) row (or (BN, BP) in object
+# space) plus ray components, returns the two boundary-crossing
+# distances (BN, BP) with +INF for absent crossings.  Mirrors geom.py
+# (which mirrors the reference rayint_* kernels) without normals.
+
+def _safe(x, default=1.0):
+    return jnp.where(x == 0.0, default, x)
+
+
+def _sphere_t(p, ox, oy, oz, dx, dy, dz):
+    cx, cy, cz, r = p(0), p(1), p(2), p(3)
+    ex, ey, ez = cx - ox, cy - oy, cz - oz
+    v = ex * dx + ey * dy + ez * dz
+    disc = r * r - (ex * ex + ey * ey + ez * ez - v * v)
+    ok = disc >= 0.0
+    sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+    return jnp.where(ok, v - sq, INF), jnp.where(ok, v + sq, INF)
+
+
+def _plane_t(p, ox, oy, oz, dx, dy, dz):
+    nx, ny, nz, off = p(0), p(1), p(2), p(3)
+    dn = nx * dx + ny * dy + nz * dz
+    t = -(nx * ox + ny * oy + nz * oz - off) / _safe(dn)
+    t = jnp.where(dn == 0.0, INF, t)
+    entering = dn < 0.0
+    return jnp.where(entering, t, INF), jnp.where(entering, INF, t)
+
+
+def _slab1(lo, hi, o, d):
+    inv = 1.0 / _safe(d)
+    ta = (lo - o) * inv
+    tb = (hi - o) * inv
+    tin = jnp.minimum(ta, tb)
+    tout = jnp.maximum(ta, tb)
+    para = d == 0.0
+    ins = (o > lo) & (o < hi)
+    BIG = 1e18
+    tin = jnp.where(para, jnp.where(ins, -BIG, BIG), tin)
+    tout = jnp.where(para, jnp.where(ins, BIG, -BIG), tout)
+    return tin, tout
+
+
+def _box_t(p, ox, oy, oz, dx, dy, dz):
+    ix, axo = _slab1(p(0), p(3), ox, dx)
+    iy, ayo = _slab1(p(1), p(4), oy, dy)
+    iz, azo = _slab1(p(2), p(5), oz, dz)
+    lastin = jnp.maximum(jnp.maximum(ix, iy), iz)
+    firstout = jnp.minimum(jnp.minimum(axo, ayo), azo)
+    ok = lastin <= firstout
+    return (jnp.where(ok, lastin, INF), jnp.where(ok, firstout, INF))
+
+
+def _triangle_t(p, ox, oy, oz, dx, dy, dz):
+    p1x, p1y, p1z = p(0), p(1), p(2)
+    e1x, e1y, e1z = p(3) - p1x, p(4) - p1y, p(5) - p1z
+    e2x, e2y, e2z = p(6) - p1x, p(7) - p1y, p(8) - p1z
+    s1x = dy * e2z - dz * e2y
+    s1y = dz * e2x - dx * e2z
+    s1z = dx * e2y - dy * e2x
+    div = s1x * e1x + s1y * e1y + s1z * e1z
+    ok = div != 0.0
+    inv = 1.0 / _safe(div)
+    ddx, ddy, ddz = ox - p1x, oy - p1y, oz - p1z
+    b1 = (ddx * s1x + ddy * s1y + ddz * s1z) * inv
+    ok = ok & (b1 >= 0.0) & (b1 <= 1.0)
+    s2x = ddy * e1z - ddz * e1y
+    s2y = ddz * e1x - ddx * e1z
+    s2z = ddx * e1y - ddy * e1x
+    b2 = (dx * s2x + dy * s2y + dz * s2z) * inv
+    ok = ok & (b2 >= 0.0) & (b1 + b2 <= 1.0)
+    t = (e2x * s2x + e2y * s2y + e2z * s2z) * inv
+    t = jnp.where(ok, t, INF)
+    return t, jnp.full_like(t, INF)
+
+
+def _disc_t(p, ox, oy, oz, dx, dy, dz):
+    px, py, pz = p(0), p(1), p(2)
+    nx, ny, nz, rsqr = p(3), p(4), p(5), p(6)
+    dn = nx * dx + ny * dy + nz * dz
+    t = -(nx * (ox - px) + ny * (oy - py) + nz * (oz - pz)) / _safe(dn)
+    hx = ox + dx * t - px
+    hy = oy + dy * t - py
+    hz = oz + dz * t - pz
+    ok = (dn != 0.0) & (hx * hx + hy * hy + hz * hz <= rsqr)
+    t = jnp.where(ok, t, INF)
+    return t, jnp.full_like(t, INF)
+
+
+def _roots(a, b, c):
+    disc = b * b - 4.0 * a * c
+    ok = disc >= 0.0
+    sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+    q = jnp.where(b < 0.0, (b - sq) * -0.5, (b + sq) * -0.5)
+    t0 = q / _safe(a)
+    t1 = c / _safe(q)
+    return jnp.minimum(t0, t1), jnp.maximum(t0, t1), ok
+
+
+def _cylinder_t(p, ox, oy, oz, dx, dy, dz):
+    r, h1, h2 = p(0), p(1), p(2)
+    a = dx * dx + dy * dy
+    b = 2.0 * (dx * ox + dy * oy)
+    c = ox * ox + oy * oy - r * r
+    lo, hi, ok = _roots(a, b, c)
+    vert = a == 0.0
+    inc = c < 0.0
+    lo = jnp.where(vert, jnp.where(inc, -INF, INF), jnp.where(ok, lo, INF))
+    hi = jnp.where(vert, jnp.where(inc, INF, -INF), jnp.where(ok, hi, -INF))
+    zlo, zhi = _slab1(h1, h2, oz, dz)
+    t0 = jnp.maximum(lo, zlo)
+    t1 = jnp.minimum(hi, zhi)
+    empty = t0 > t1
+    return (jnp.where(empty, INF, t0), jnp.where(empty, INF, t1))
+
+
+def _cone_t(p, ox, oy, oz, dx, dy, dz):
+    r, clip1, clip2, height = p(0), p(1), p(2), p(3)
+    kp = r / height
+    k = kp * kp
+    a = dx * dx + dy * dy - k * dz * dz
+    b = 2.0 * (dx * ox + dy * oy - k * dz * (oz - height))
+    c = ox * ox + oy * oy - k * (oz - height) * (oz - height)
+    lo, hi, ok = _roots(a, b, c)
+    neg_lo = jnp.where(dz > 0.0, -INF, hi)
+    neg_hi = jnp.where(dz > 0.0, lo, INF)
+    lin_t = -c / _safe(b)
+    lin_lo = jnp.where(b < 0.0, lin_t, -INF)
+    lin_hi = jnp.where(b < 0.0, INF, lin_t)
+    lin_lo = jnp.where(b == 0.0, jnp.where(c < 0.0, -INF, INF), lin_lo)
+    lin_hi = jnp.where(b == 0.0, jnp.where(c < 0.0, INF, -INF), lin_hi)
+    flo = jnp.where(a > 0.0, jnp.where(ok, lo, INF),
+                    jnp.where(a < 0.0, jnp.where(ok, neg_lo, -INF), lin_lo))
+    fhi = jnp.where(a > 0.0, jnp.where(ok, hi, -INF),
+                    jnp.where(a < 0.0, jnp.where(ok, neg_hi, INF), lin_hi))
+    zlo, zhi = _slab1(clip1, clip2, oz, dz)
+    t0 = jnp.maximum(flo, zlo)
+    t1 = jnp.minimum(fhi, zhi)
+    empty = t0 > t1
+    return (jnp.where(empty, INF, t0), jnp.where(empty, INF, t1))
+
+
+_T_KERNELS = {
+    "sphere": _sphere_t,
+    "plane": _plane_t,
+    "box": _box_t,
+    "triangle": _triangle_t,
+    "trianglenorm": _triangle_t,   # same distances, fan fields first
+    "disc": _disc_t,
+    "cylinder": _cylinder_t,
+    "cone": _cone_t,
+}
+
+
+# component-wise strict inside tests for constraint prims (scalars
+# broadcast over (BN, BP) candidate-point components)
+
+def _inside_comp(ptype, c, x, y, z):
+    if ptype == "sphere":
+        ex, ey, ez = c(0) - x, c(1) - y, c(2) - z
+        return ex * ex + ey * ey + ez * ez < c(3) * c(3)
+    if ptype == "plane":
+        return c(0) * x + c(1) * y + c(2) * z < c(3)
+    if ptype == "box":
+        return ((x > c(0)) & (x < c(3)) & (y > c(1)) & (y < c(4))
+                & (z > c(2)) & (z < c(5)))
+    if ptype == "cylinder":
+        return ((z > c(1)) & (z < c(2)) & (x * x + y * y < c(0) * c(0)))
+    if ptype == "cone":
+        rz = c(0) * (1.0 - (z - c(1)) / c(3))
+        return (z > c(1)) & (z < c(2)) & (x * x + y * y < rz * rz)
+    # surface prims have no volume
+    return jnp.zeros_like(x, dtype=bool)
+
+
+def dense_intersect(ptype: str, params_T, m_inv, vis, constraints,
+                    o, d, seed_t, interpret: Optional[bool] = None):
+    """Nearest valid candidate of every ray against a dense prim group.
+
+    params_T: (F, P) transposed packed params.  m_inv: (P, 12) or None.
+    vis: (P,) float 0/1.  constraints: list of
+    (positive, [(ptype2, cparams (M, F2), cminv (M, 12) or None)]).
+    Returns (best_t, best_local); best_t == seed_t where nothing nearer.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N = o.shape[0]
+    F, P = params_T.shape
+    n_i = pl.cdiv(N, BN)
+    n_j = pl.cdiv(P, BP)
+    transformed = m_inv is not None
+    tker = _T_KERNELS[ptype]
+
+    # constraint tables -> one flat (rows, cols) SMEM f32 table per member
+    cons_tables = []
+    cons_layout = []
+    for positive, members in constraints:
+        ml = []
+        for cptype, cmat, cminv in members:
+            ml.append((cptype, len(cons_tables), cminv is not None,
+                       int(cmat.shape[0])))
+            cons_tables.append(jnp.asarray(cmat, jnp.float32))
+            if cminv is not None:
+                cons_tables.append(jnp.asarray(cminv, jnp.float32))
+        cons_layout.append((positive, ml))
+
+    def kernel(o_ref, d_ref, seed_ref, pm_ref, vis_ref, *rest):
+        k = 0
+        minv_ref = None
+        if transformed:
+            minv_ref = rest[k]
+            k += 1
+        cons_refs = rest[k:k + len(cons_tables)]
+        out_t = rest[k + len(cons_tables)]
+        out_l = rest[k + len(cons_tables) + 1]
+
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            out_t[:] = seed_ref[:]
+            out_l[:] = jnp.full((BN, 1), -1, jnp.int32)
+
+        ox = o_ref[:, 0:1]
+        oy = o_ref[:, 1:2]
+        oz = o_ref[:, 2:3]
+        dx = d_ref[:, 0:1]
+        dy = d_ref[:, 1:2]
+        dz = d_ref[:, 2:3]
+
+        def p(idx):
+            return pm_ref[idx:idx + 1, :]                 # (1, BP)
+
+        if transformed:
+            def m(idx):
+                return minv_ref[idx:idx + 1, :]           # (1, BP)
+            # object-space ray per (ray, prim) pair
+            pox = m(0) * ox + m(1) * oy + m(2) * oz + m(3)
+            poy = m(4) * ox + m(5) * oy + m(6) * oz + m(7)
+            poz = m(8) * ox + m(9) * oy + m(10) * oz + m(11)
+            pdx = m(0) * dx + m(1) * dy + m(2) * dz
+            pdy = m(4) * dx + m(5) * dy + m(6) * dz
+            pdz = m(8) * dx + m(9) * dy + m(10) * dz
+            ils = jax.lax.rsqrt(pdx * pdx + pdy * pdy + pdz * pdz)
+            t0, t1 = tker(p, pox, poy, poz,
+                          pdx * ils, pdy * ils, pdz * ils)
+            t0 = jnp.where(t0 >= INF, INF, t0 * ils)
+            t1 = jnp.where(t1 >= INF, INF, t1 * ils)
+        else:
+            t0, t1 = tker(p, ox, oy, oz, dx, dy, dz)
+
+        bt = out_t[:]                                     # (BN, 1)
+        visrow = vis_ref[0:1, :] > 0.5                    # (1, BP)
+        pid = jax.lax.broadcasted_iota(jnp.int32, (1, BP), 1) + j * BP
+        ok = visrow & (pid < P)
+        v0 = ok & (t0 > 0.0) & (t0 < bt)
+        v1 = ok & (t1 > 0.0) & (t1 < bt)
+
+        if cons_layout:
+            for which, (tv, vm) in enumerate(((t0, v0), (t1, v1))):
+                px_ = ox + dx * tv
+                py_ = oy + dy * tv
+                pz_ = oz + dz * tv
+                allok = jnp.ones_like(vm)
+                for positive, ml in cons_layout:
+                    inn = jnp.zeros_like(vm)
+                    for cptype, ci, has_inv, M in ml:
+                        tab = cons_refs[ci]
+                        for mrow in range(M):
+                            if has_inv:
+                                itab = cons_refs[ci + 1]
+                                def mi(q):
+                                    return itab[mrow, q]
+                                cx = (mi(0) * px_ + mi(1) * py_
+                                      + mi(2) * pz_ + mi(3))
+                                cy = (mi(4) * px_ + mi(5) * py_
+                                      + mi(6) * pz_ + mi(7))
+                                cz = (mi(8) * px_ + mi(9) * py_
+                                      + mi(10) * pz_ + mi(11))
+                            else:
+                                cx, cy, cz = px_, py_, pz_
+                            def c(q, tab=tab, mrow=mrow):
+                                return tab[mrow, q]
+                            inn = inn | _inside_comp(cptype, c, cx, cy, cz)
+                    allok = allok & (inn == positive)
+                if which == 0:
+                    v0 = v0 & allok
+                else:
+                    v1 = v1 & allok
+
+        tc = jnp.where(v0, t0, jnp.where(v1, t1, INF))
+        tbest = jnp.min(tc, axis=-1, keepdims=True)       # (BN, 1)
+        arg = jnp.argmin(tc, axis=-1).astype(jnp.int32)[:, None]
+        lbest = arg + j * BP
+        better = tbest < bt
+        out_t[:] = jnp.where(better, tbest, bt)
+        out_l[:] = jnp.where(better, lbest, out_l[:])
+
+    in_specs = [
+        pl.BlockSpec((BN, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((BN, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((BN, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((F, BP), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BP), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    inputs = [o, d, seed_t[:, None], params_T,
+              jnp.asarray(vis)[None, :]]
+    if transformed:
+        in_specs.append(pl.BlockSpec((12, BP), lambda i, j: (0, j),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(m_inv.reshape(P, 12).T)
+    for tab in cons_tables:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(tab))
+
+    out_shape = (jax.ShapeDtypeStruct((N, 1), o.dtype),
+                 jax.ShapeDtypeStruct((N, 1), jnp.int32))
+    out_specs = (pl.BlockSpec((BN, 1), lambda i, j: (i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((BN, 1), lambda i, j: (i, 0),
+                              memory_space=pltpu.VMEM))
+
+    bt, bl = pl.pallas_call(
+        kernel,
+        grid=(n_i, n_j),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*inputs)
+    return bt[:, 0], bl[:, 0]
