@@ -52,7 +52,10 @@ def main():
     compiled = G.compile_scene(solid, lights)
     arrays = jax.device_put(compiled.arrays())
     cfg = RenderConfig(xres=720, yres=480)
-    tracer = G.Tracer(compiled, cfg)
+    try:
+        tracer = G.WavefrontTracer(compiled, cfg)
+    except NotImplementedError:
+        tracer = G.Tracer(compiled, cfg)
     renderer = Renderer(tracer, cam, cfg)
     setup_s = time.time() - t0
     print(f"# scene setup {setup_s:.1f}s", file=sys.stderr)

@@ -24,6 +24,7 @@ from . import xfm
 from .xfm import compose, rotate, scale, translate, xyz_to_uvw
 from .compile import compile_scene, CompiledScene
 from .trace import Tracer, TraceResult
+from .trace_wavefront import WavefrontTracer
 from .render import Camera, Renderer, camera
 from .intersect import Hit, intersect, shadow_query
 

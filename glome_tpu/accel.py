@@ -112,9 +112,22 @@ def _bbsa(bmin, bmax):
 
 
 def build_bvh(bmin: np.ndarray, bmax: np.ndarray,
-              leaf_max: int = LEAF_MAX) -> BvhFlat:
+              leaf_max: int = LEAF_MAX, native: bool = True) -> BvhFlat:
     """Cost-based build with the reference's candidate-split search
-    (Bih.hs:211-285), emitted as a flattened skip-link array tree."""
+    (Bih.hs:211-285), emitted as a flattened skip-link array tree.
+    Uses the C++ builder (native/bvh_builder.cpp) when available."""
+    if native:
+        try:
+            from . import native as _native
+            out = _native.build_bvh_native(np.asarray(bmin, np.float64),
+                                           np.asarray(bmax, np.float64),
+                                           leaf_max)
+        except Exception:
+            out = None
+        if out is not None:
+            nb_min, nb_max, ls, lc, sk, order = out
+            return BvhFlat(bmin=nb_min, bmax=nb_max, leaf_start=ls,
+                           leaf_count=lc, skip=sk, order=order)
     P = bmin.shape[0]
     mids = (bmin + bmax) * 0.5
     sa = _bbsa(bmin, bmax)

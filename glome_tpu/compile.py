@@ -44,7 +44,7 @@ TAG_DEPTH = 4
 # prims are accelerated with the check inlined into BVH leaf tests;
 # bigger scans stay on the deferred brute-force path (they are rare:
 # difference-B solids and members of wide intersections).
-CHEAP_CONSTRAINTS_MAX = 8
+CHEAP_CONSTRAINTS_MAX = 24
 
 # groups at or below this size are intersected by dense brute force (a
 # lockstep scan over prim chunks): on a TPU dense VPU work beats

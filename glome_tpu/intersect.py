@@ -701,3 +701,39 @@ def shadow_query(compiled, arrays, scene_id, o, d, tmax,
     h = intersect(compiled, arrays, scene_id, o, d, tmax=tmax, shadow=True,
                   prim_chunk=prim_chunk)
     return h.hit
+
+
+def intersect_multi(compiled, arrays, o, d, sid, tmax=None,
+                    shadow: bool = False) -> Hit:
+    """Nearest hit where each ray selects its scene via `sid` (N,) int32
+    (-1 = no scene; always a miss).  Implemented by running each packed
+    scene with tmax zeroed for out-of-scene rays -- every candidate then
+    fails t > 0, so no kernel changes are needed -- and merging."""
+    N = o.shape[0]
+    if tmax is None:
+        tmax = jnp.full((N,), INFINITY, dtype=o.dtype)
+    best: Optional[Hit] = None
+    for si in range(len(compiled.scenes)):
+        tm = jnp.where(sid == si, tmax, 0.0)
+        h = intersect(compiled, arrays, si, o, d, tmax=tm, shadow=shadow)
+        if best is None:
+            best = h
+        else:
+            upd = h.t < best.t
+            best = Hit(
+                t=jnp.where(upd, h.t, best.t),
+                hit=jnp.where(upd, h.hit, best.hit),
+                pos=jnp.where(upd[:, None], h.pos, best.pos),
+                norm=jnp.where(upd[:, None], h.norm, best.norm),
+                obj_o=jnp.where(upd[:, None], h.obj_o, best.obj_o),
+                obj_d=jnp.where(upd[:, None], h.obj_d, best.obj_d),
+                tex_stack=jnp.where(upd[:, None], h.tex_stack, best.tex_stack),
+                tag_stack=jnp.where(upd[:, None], h.tag_stack, best.tag_stack),
+                prim_serial=jnp.where(upd, h.prim_serial, best.prim_serial),
+            )
+    return best
+
+
+def shadow_query_multi(compiled, arrays, o, d, sid, tmax):
+    h = intersect_multi(compiled, arrays, o, d, sid, tmax=tmax, shadow=True)
+    return h.hit

@@ -360,11 +360,14 @@ class Tracer:
             return jnp.concatenate([rgb, a], axis=-1)
 
         if isinstance(m, Reflect):
-            if ctx["recurs"] > 1 and m.amount > 0 and "reflect" in ctx["children"]:
-                c = ctx["children"]["reflect"]
-                return jnp.concatenate([c[..., :3], c[..., 3:] * m.amount],
-                                       axis=-1)
-            return C.ca_black((N,), dt)
+            # Shader.hs:107-118: refl <= 0 gives opaque black; otherwise
+            # the child trace's color with alpha scaled -- which at the
+            # recursion floor is the transparent miss (Trace.hs:60)
+            if m.amount <= 0:
+                return C.ca_black((N,), dt)
+            c = ctx["children"].get("reflect", C.ca_transparent((N,), dt))
+            return jnp.concatenate([c[..., :3], c[..., 3:] * m.amount],
+                                   axis=-1)
 
         if isinstance(m, Refract):
             if ctx["recurs"] > 1 and (m.refl > 0 or m.refr > 0):
