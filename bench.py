@@ -51,7 +51,7 @@ def main():
     solid, lights, cam = test_scene()
     compiled = G.compile_scene(solid, lights)
     arrays = jax.device_put(compiled.arrays())
-    cfg = RenderConfig(xres=720, yres=480)
+    cfg = RenderConfig(xres=720, yres=480, secondary_capacity=0.5)
     try:
         tracer = G.WavefrontTracer(compiled, cfg)
     except NotImplementedError:
@@ -73,12 +73,14 @@ def main():
     jax.block_until_ready(out)
     print(f"# compile+first run {time.time()-t0:.1f}s", file=sys.stderr)
 
-    # timed runs
+    # timed runs; block every frame and jitter the inputs per frame so
+    # no layer of the stack can memoize identical executions
     n_iters = 5
     t0 = time.time()
-    for _ in range(n_iters):
-        out = fn(arrays, o, d)
-    jax.block_until_ready(out)
+    for i in range(n_iters):
+        oj = o + np.float32(1e-6 * (i + 1))
+        out = fn(arrays, oj, d)
+        jax.block_until_ready(out)
     dt = (time.time() - t0) / n_iters
     n_rays = o.shape[0]
     mrays = n_rays / dt / 1e6

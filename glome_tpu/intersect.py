@@ -120,13 +120,54 @@ def group_inside(scene_static: PackedScene, garrs, gi: int, idx: np.ndarray,
     return jnp.concatenate(outs, axis=-1)
 
 
+def group_inside_any(scene_static: PackedScene, garrs, gi: int,
+                     idx: np.ndarray, pts, chunk: int = 32):
+    """any(inside) over member prims without materializing the full
+    (..., M) membership matrix: a lax.scan over member chunks keeps the
+    peak at (..., chunk).  Used for big clause sets (the lattice shell
+    in TestScene) where the dense matrix was tens of GB."""
+    import jax
+
+    g = scene_static.groups[gi]
+    ga = garrs[gi]
+    M = len(idx)
+    if M <= 2 * chunk:
+        return jnp.any(group_inside(scene_static, garrs, gi, idx, pts),
+                       axis=-1)
+    C = (M + chunk - 1) // chunk
+    padM = C * chunk - M
+    idx_p = np.concatenate([idx, np.zeros(padM, idx.dtype)]) if padM else idx
+    validrow = np.ones(C * chunk, bool)
+    if padM:
+        validrow[M:] = False
+
+    def stack(v):
+        return v[idx_p].reshape((C, chunk) + v.shape[1:])
+
+    params_s = {k: stack(v) for k, v in ga.items()
+                if k not in ("m_inv", "m_fwd")}
+    xs = {"p": params_s, "v": jnp.asarray(validrow.reshape(C, chunk))}
+    if g.m_inv is not None:
+        xs["m"] = stack(ga["m_inv"])
+
+    def step(carry, x):
+        p = pts[..., None, :]
+        if g.m_inv is not None:
+            p = apply_point(x["m"], p)
+        ins = _kernel_inside(g.ptype, x["p"], p) & x["v"]
+        return carry | jnp.any(ins, axis=-1), None
+
+    init = jnp.zeros(pts.shape[:-1], dtype=bool)
+    out, _ = jax.lax.scan(step, init, xs)
+    return out
+
+
 def clause_in(scene_static, garrs, clause, pts):
     """IN(clause set) at pts (..., 3) -> (...) bool (group `inside`
     semantics: any member contains the point, Solid.hs:331)."""
     out = jnp.zeros(pts.shape[:-1], dtype=bool)
     for gi, idx in clause.members:
-        ins = group_inside(scene_static, garrs, gi, idx, pts)
-        out = out | jnp.any(ins, axis=-1)
+        out = out | group_inside_any(scene_static, garrs, gi, idx, pts)
     return out
 
 
@@ -157,8 +198,7 @@ def _inline_valid(sc, garrs, constraints, pts):
     for positive, members in constraints:
         inn = jnp.zeros(pts.shape[:-1], dtype=bool)
         for gi, idx in members:
-            ins = group_inside(sc, garrs, gi, idx, pts)
-            inn = inn | jnp.any(ins, axis=-1)
+            inn = inn | group_inside_any(sc, garrs, gi, idx, pts)
         ok = ok & (inn == positive)
     return ok
 

@@ -30,8 +30,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .config import INFINITY
 
-BN = 256   # rays per tile (sublanes x 32)
+BN = 256   # rays per tile (sublanes x 32); see _pick_bn
 BP = 128   # prims per tile (one lane row)
+
+
+def _pick_bn(n_cons_members: int) -> int:
+    """Bigger ray tiles amortize per-grid-step overhead (~5us each);
+    constraint-heavy kernels keep smaller tiles to fit VMEM."""
+    if n_cons_members == 0:
+        return 1024
+    if n_cons_members <= 4:
+        return 512
+    return 256
 
 INF = INFINITY
 
@@ -260,6 +270,8 @@ def dense_intersect(ptype: str, params_T, m_inv, vis, constraints,
         interpret = jax.default_backend() != "tpu"
     N = o.shape[0]
     F, P = params_T.shape
+    n_cons = sum(cm.shape[0] for _, ms in constraints for _, cm, _ in ms)
+    BN = _pick_bn(n_cons)
     n_i = pl.cdiv(N, BN)
     n_j = pl.cdiv(P, BP)
     transformed = m_inv is not None
