@@ -7,7 +7,10 @@ virtual devices.  Must happen before jax initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the ambient environment points JAX at a TPU
+# tunnel (JAX_PLATFORMS=axon/tpu): the suite needs 8 virtual devices.
+# Override with GLOME_TEST_PLATFORM to run the suite elsewhere.
+os.environ["JAX_PLATFORMS"] = os.environ.get("GLOME_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
