@@ -157,7 +157,9 @@ def group_inside_any(scene_static: PackedScene, garrs, gi: int,
         ins = _kernel_inside(g.ptype, x["p"], p) & x["v"]
         return carry | jnp.any(ins, axis=-1), None
 
-    init = jnp.zeros(pts.shape[:-1], dtype=bool)
+    # derive the init from pts so its manual-axes "varying" status
+    # matches the body output under shard_map (JAX scan vma rule)
+    init = pts[..., 0] > jnp.inf
     out, _ = jax.lax.scan(step, init, xs)
     return out
 
@@ -288,7 +290,10 @@ def brute_scan(sc, garrs, gi, o, d, seed_t, shadow: bool, chunk: int = 256):
         bl = jnp.where(better, lbest, bl)
         return (bt, bl), None
 
-    init = (seed_t, jnp.full((N,), -1, dtype=jnp.int32))
+    # init carries derived from the (possibly sharding-varying) ray
+    # arrays so scan's manual-axes check passes under shard_map
+    init = (seed_t + 0.0 * o[:, 0],
+            (o[:, 0] * 0.0).astype(jnp.int32) - 1)
     (bt, bl), _ = jax.lax.scan(step, init, xs)
     return bt, bl
 
@@ -458,8 +463,10 @@ def bvh_pass(sc, garrs, gi, o, d, seed_t, shadow: bool, tile: int = TILE):
     def cond(state):
         return jnp.any(state[0] < M)
 
-    state0 = (jnp.zeros((T,), dtype=jnp.int32), bt0,
-              jnp.full((T, K), -1, dtype=jnp.int32))
+    # node-index / best-local inits derived from the ray tiles so their
+    # manual-axes varying status matches the loop body under shard_map
+    state0 = ((ot[:, 0, 0] * 0.0).astype(jnp.int32), bt0,
+              (ot[:, :, 0] * 0.0).astype(jnp.int32) - 1)
     _, bt, bl = jax.lax.while_loop(cond, body, state0)
     bt = bt.reshape(-1)[:N]
     bl = bl.reshape(-1)[:N]

@@ -10,8 +10,16 @@ import os
 # Force CPU even when the ambient environment points JAX at a TPU
 # tunnel (JAX_PLATFORMS=axon/tpu): the suite needs 8 virtual devices.
 # Override with GLOME_TEST_PLATFORM to run the suite elsewhere.
-os.environ["JAX_PLATFORMS"] = os.environ.get("GLOME_TEST_PLATFORM", "cpu")
+_plat = os.environ.get("GLOME_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _plat
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Site customization in this image registers a TPU backend
+# programmatically (jax.config), which outranks the env var; set the
+# config knob back explicitly.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", _plat)
