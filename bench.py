@@ -42,6 +42,7 @@ def _init_jax():
 
 def main():
     jax = _init_jax()
+    import jax.numpy as jnp
     import glome_tpu as G
     from glome_tpu.scenes import test_scene
     from glome_tpu.config import RenderConfig
@@ -66,22 +67,53 @@ def main():
     o = jax.device_put(o)
     d = jax.device_put(d)
 
-    fn = jax.jit(lambda a, o_, d_: tracer.trace(a, o_, d_).color)
+    # Measurement must be robust against the TPU relay's quirks: it
+    # memoizes repeated executions, its per-call blocking semantics are
+    # unreliable, and every dispatch pays a large host round trip.  So
+    # the whole timed workload is ONE device program: a fori_loop of
+    # chained frames (frame i+1's ray origins are jittered by frame i's
+    # mean color, so no frame can be skipped, cached, or overlapped),
+    # and the per-frame time is the difference between a long and a
+    # short chain, which cancels the fixed dispatch/transfer overhead.
+    def chain(n):
+        def run(a, o_, d_, prev):
+            def body(_, p):
+                res = tracer.trace(a, o_ + p * 1e-4, d_)
+                return jnp.mean(res.color[:, :3], axis=0)
+            return jax.lax.fori_loop(0, n, body, prev)
+        return jax.jit(run)
 
+    n_long, n_short = 12, 2
+    f_long, f_short = chain(n_long), chain(n_short)
+    prev0 = jnp.zeros((3,), jnp.float32)
     t0 = time.time()
-    out = fn(arrays, o, d)
+    out = f_short(arrays, o, d, prev0)
     jax.block_until_ready(out)
-    print(f"# compile+first run {time.time()-t0:.1f}s", file=sys.stderr)
-
-    # timed runs; block every frame and jitter the inputs per frame so
-    # no layer of the stack can memoize identical executions
-    n_iters = 5
+    print(f"# compile+first short chain {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    assert np.all(np.isfinite(np.asarray(out)))
     t0 = time.time()
-    for i in range(n_iters):
-        oj = o + np.float32(1e-6 * (i + 1))
-        out = fn(arrays, oj, d)
-        jax.block_until_ready(out)
-    dt = (time.time() - t0) / n_iters
+    out = f_long(arrays, o, d, prev0 + 1e-5)
+    jax.block_until_ready(out)
+    print(f"# compile+first long chain {time.time()-t0:.1f}s",
+          file=sys.stderr)
+
+    def timed(f, p0):
+        t0 = time.time()
+        jax.block_until_ready(f(arrays, o, d, p0))
+        return time.time() - t0
+
+    reps = 3
+    dts = []
+    for r in range(reps):
+        # distinct seeds each rep so no execution repeats exactly
+        eps = jnp.float32(1e-5 * (r + 1))
+        t_s = timed(f_short, prev0 + 2.0 * eps)
+        t_l = timed(f_long, prev0 + eps)
+        dts.append((t_l - t_s) / (n_long - n_short))
+        print(f"# rep {r}: short {t_s*1e3:.1f} ms, long {t_l*1e3:.1f} ms"
+              f" -> {dts[-1]*1e3:.2f} ms/frame", file=sys.stderr)
+    dt = sorted(dts)[len(dts) // 2]
     n_rays = o.shape[0]
     mrays = n_rays / dt / 1e6
     print(f"# {dt*1e3:.1f} ms/frame, {n_rays} primary rays", file=sys.stderr)

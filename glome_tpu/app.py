@@ -65,7 +65,12 @@ def main(argv=None):
     compiled = G.compile_scene(solid, lights)
     arrays = jax.device_put(compiled.arrays())
     cfg = RenderConfig(xres=args.xres, yres=args.yres, maxdepth=args.depth)
-    tracer = G.Tracer(compiled, cfg)
+    try:
+        # O(N)-queue scan-over-depth tracer (compiles smaller and peaks
+        # far lower than the unrolled recursive tracer)
+        tracer = G.WavefrontTracer(compiled, cfg)
+    except NotImplementedError:
+        tracer = G.Tracer(compiled, cfg)
     print(f"scene setup: {time.time()-t0:.3f}s")
 
     if args.pick:

@@ -104,6 +104,11 @@ class CsgObject:
     clauses: List[CsgClause]
     useatex: bool
     kind: str  # 'difference' | 'intersection'
+    # True for all-positive single-prim-per-clause intersections of
+    # volumetric convex prims: traced directly by interval intersection
+    # (one candidate per ray per object) instead of per-member surface
+    # candidates with membership scans.
+    convex: bool = False
 
 
 @dataclasses.dataclass
@@ -195,6 +200,7 @@ class _SceneBuild:
     def __init__(self):
         self.prims: List[_PrimRecord] = []
         self.csgs: List[Tuple[str, bool, List[List[int]], List[bool]]] = []
+        self.convex_cids: set = set()
         # each csg: (kind, useatex, clause member serial lists, clause signs)
 
 
@@ -588,12 +594,71 @@ class Compiler:
         if dropped:
             build.prims = [r for r in build.prims if r.serial not in dropped]
 
+    # prim types whose hits2 entry/exit pair is the exact parameter
+    # interval of a convex volume (so CSG intersections of them reduce
+    # to interval max/min -- the convex fast path)
+    _VOLUMETRIC = frozenset({"sphere", "plane", "box", "cylinder", "cone"})
+
+    def _convex_cids(self, build: _SceneBuild):
+        """CSG ids eligible for the direct interval-intersection path:
+        every clause positive with exactly one member, every member a
+        volumetric convex prim, uniform shadow flags.  Equivalent to the
+        reference's rayint_intersection advance loop (Csg.hs:68-90) for
+        convex members, evaluated in closed form."""
+        by_serial = {r.serial: r for r in build.prims}
+        out = set()
+        for cid, (kind, useatex, clause_serials, signs) in \
+                enumerate(build.csgs):
+            if kind != "intersection" or not clause_serials:
+                continue
+            if not all(signs):
+                continue
+            if any(len(s) != 1 for s in clause_serials):
+                continue
+            recs = [by_serial[s[0]] for s in clause_serials]
+            if any(r.ptype not in self._VOLUMETRIC for r in recs):
+                continue
+            if len({(r.noshadow, r.onlyshadow) for r in recs}) > 1:
+                continue
+            out.add(cid)
+        return out
+
+    def _morton_sort(self, recs):
+        """Order a large group's prims along a Morton (Z-order) curve of
+        their world bbox centers so that consecutive 128-prim lane
+        blocks are spatially compact -- the per-block AABB rejection in
+        the Pallas dense kernel and the BVH leaf order both feed off
+        this locality.  Pure reordering: semantics are order-free."""
+        if len(recs) <= 128:
+            return recs
+        bounds = [self._record_bounds(r) for r in recs]
+        if any(b is None for b in bounds):
+            return recs
+        centers = np.stack([(b[0] + b[1]) * 0.5 for b in bounds])
+        lo = centers.min(0)
+        span = np.maximum(centers.max(0) - lo, 1e-12)
+        q = np.clip(((centers - lo) / span * 1023.0), 0, 1023).astype(np.uint64)
+
+        def spread(x):
+            x = (x | (x << 16)) & np.uint64(0x030000FF)
+            x = (x | (x << 8)) & np.uint64(0x0300F00F)
+            x = (x | (x << 4)) & np.uint64(0x030C30C3)
+            x = (x | (x << 2)) & np.uint64(0x09249249)
+            return x
+
+        code = (spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1))
+                | (spread(q[:, 2]) << np.uint64(2)))
+        order = np.argsort(code, kind="stable")
+        return [recs[i] for i in order]
+
     def _vclass_key(self, build: _SceneBuild, rec: _PrimRecord):
         """Validity class for acceleration grouping: plain prims and
         positive-clause CSG prims with small other-clause scans are BVH
         eligible; everything else is brute-forced (deferred)."""
         if rec.csg_id < 0:
             return ("plain", None)
+        if rec.csg_id in build.convex_cids:
+            return ("convex", rec.csg_id)
         kind, useatex, clause_serials, signs = build.csgs[rec.csg_id]
         own = rec.clause_id
         other_total = sum(len(s) for ci, s in enumerate(clause_serials)
@@ -609,6 +674,7 @@ class Compiler:
         group_builds = []
         for si, build in enumerate(self.scenes):
             self._simplify_csg(build)
+            build.convex_cids = self._convex_cids(build)
             groups: Dict[tuple, List[_PrimRecord]] = {}
             for rec in build.prims:
                 vkey = self._vclass_key(build, rec)
@@ -617,6 +683,7 @@ class Compiler:
             glist = []
             for (ptype, has_m, vkey), recs in sorted(
                     groups.items(), key=lambda kv: repr(kv[0])):
+                recs = self._morton_sort(recs)
                 gi = len(glist)
                 P = len(recs)
                 pnames = recs[0].params.keys()
@@ -662,7 +729,8 @@ class Compiler:
                     members = [(gi, np.asarray(lis, dtype=np.int32))
                                for gi, lis in sorted(bygroup.items())]
                     clauses.append(CsgClause(positive, members, list(serials)))
-                csgs.append(CsgObject(clauses, useatex, kind))
+                csgs.append(CsgObject(clauses, useatex, kind,
+                                      convex=(len(csgs) in build.convex_cids)))
             packed_scenes.append(PackedScene(glist, csgs))
 
         # resolve inline CSG constraints now that every prim has a home,

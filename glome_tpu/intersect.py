@@ -205,6 +205,136 @@ def _inline_valid(sc, garrs, constraints, pts):
     return ok
 
 
+def _member_interval(sc, garrs, gi, li, o, d):
+    """Exact parameter interval [t_in, t_out] of one convex volumetric
+    prim along each ray, as extended reals (empty = [INF, INF], which
+    max/min handles correctly for intersections).  World distances."""
+    g = sc.groups[gi]
+    ga = garrs[gi]
+    params = {k: v[li] for k, v in ga.items() if k not in ("m_inv", "m_fwd")}
+    if g.m_inv is not None:
+        minv = ga["m_inv"][li]
+        oo = apply_point(minv, o)
+        dd = apply_vector(minv, d)
+        ils = 1.0 / jnp.sqrt(jnp.sum(dd * dd, axis=-1))
+        ou, du = oo, dd * ils[..., None]
+    else:
+        ou, du, ils = o, d, None
+    if g.ptype == "plane":
+        # half-space interval (plane_hits2 slots encode crossing kind,
+        # not the interval): entering -> [t, +INF); exiting -> (-INF, t];
+        # parallel -> all-or-nothing by inside(o)
+        n, off = params["norm"], params["offset"]
+        dn = jnp.sum(n * du, axis=-1)
+        t = -(jnp.sum(n * ou, axis=-1) - off) / jnp.where(dn == 0.0, 1.0, dn)
+        ins = jnp.sum(n * ou, axis=-1) < off
+        t0 = jnp.where(dn < 0.0, t, -INFINITY)
+        t1 = jnp.where(dn > 0.0, t, INFINITY)
+        t0 = jnp.where(dn == 0.0, jnp.where(ins, -INFINITY, INFINITY), t0)
+        t1 = jnp.where(dn == 0.0, jnp.where(ins, INFINITY, -INFINITY), t1)
+    else:
+        t0, _, t1, _ = _kernel_hits2(g.ptype, params, ou, du)
+    if ils is not None:
+        t0 = jnp.where(jnp.abs(t0) >= INFINITY, t0, t0 * ils)
+        t1 = jnp.where(jnp.abs(t1) >= INFINITY, t1, t1 * ils)
+    return t0, t1
+
+
+def _convex_members(sc, csg):
+    """Flattened member list [(gi, li)] of a convex csg in clause order."""
+    out = []
+    for clause in csg.clauses:
+        for gi, idx in clause.members:
+            for li in idx:
+                out.append((gi, int(li)))
+    return out
+
+
+def convex_pass(sc, garrs, csg, o, d, seed_t, shadow: bool):
+    """Direct interval intersection of one convex CSG object: the hit is
+    the max of member entries if ahead of the origin, else the min of
+    member exits (origin inside).  Select-only (winner finalized
+    differentiably by _finalize_convex).  Returns (t, ordinal, exit?)."""
+    import jax
+
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    garrs = jax.tree.map(jax.lax.stop_gradient, garrs)
+
+    members = _convex_members(sc, csg)
+    g0, l0 = members[0]
+    vis = ((~sc.groups[g0].noshadow[l0]) if shadow
+           else (~sc.groups[g0].onlyshadow[l0]))
+    N = o.shape[0]
+    if not bool(vis):
+        return (jnp.full((N,), INFINITY, o.dtype),
+                jnp.zeros((N,), jnp.int32), jnp.zeros((N,), bool))
+    t_in = jnp.full((N,), -INFINITY, o.dtype) + 0.0 * o[:, 0]
+    t_out = jnp.full((N,), INFINITY, o.dtype) + 0.0 * o[:, 0]
+    a_in = jnp.zeros((N,), jnp.int32)
+    a_out = jnp.zeros((N,), jnp.int32)
+    for k, (gi, li) in enumerate(members):
+        t0, t1 = _member_interval(sc, garrs, gi, li, o, d)
+        upd0 = t0 > t_in
+        t_in = jnp.where(upd0, t0, t_in)
+        a_in = jnp.where(upd0, k, a_in)
+        upd1 = t1 < t_out
+        t_out = jnp.where(upd1, t1, t_out)
+        a_out = jnp.where(upd1, k, a_out)
+    entering = t_in > 0.0
+    t_cand = jnp.where(entering, t_in, t_out)
+    ok = (t_in <= t_out) & (t_cand > 0.0) & (t_cand < seed_t) \
+        & (t_cand < INFINITY)
+    return (jnp.where(ok, t_cand, INFINITY),
+            jnp.where(entering, a_in, a_out), ~entering)
+
+
+def _finalize_convex(sc, garrs, csg, o, d, t, ordinal, is_exit):
+    """Differentiable recompute of the winning member's surface for rays
+    whose global best came from a convex csg object."""
+    members = _convex_members(sc, csg)
+    N = o.shape[0]
+    tsel = t
+    n = jnp.zeros((N, 3), o.dtype)
+    oo_sel, du_sel = o, d
+    tex = jnp.full((N, TEX_DEPTH), -1, jnp.int32)
+    tag = jnp.full((N, TAG_DEPTH), -1, jnp.int32)
+    ser = jnp.full((N,), -1, jnp.int32)
+    for k, (gi, li) in enumerate(members):
+        g = sc.groups[gi]
+        ga = garrs[gi]
+        params = {kk: v[li] for kk, v in ga.items()
+                  if kk not in ("m_inv", "m_fwd")}
+        if g.m_inv is not None:
+            minv = ga["m_inv"][li]
+            oo = apply_point(minv, o)
+            dd = apply_vector(minv, d)
+            ils = 1.0 / jnp.sqrt(jnp.sum(dd * dd, axis=-1))
+            du = dd * ils[..., None]
+            t0k, n0k, t1k, n1k = _kernel_hits2(g.ptype, params, oo, du)
+            t0k = t0k * ils
+            t1k = t1k * ils
+            n0k = vnorm(apply_normal_T(minv, n0k))
+            n1k = vnorm(apply_normal_T(minv, n1k))
+        else:
+            oo, du = o, d
+            t0k, n0k, t1k, n1k = _kernel_hits2(g.ptype, params, o, d)
+        sel = ordinal == k
+        tk = jnp.where(is_exit, t1k, t0k)
+        # clamp differentiable recompute to the selected value when the
+        # kernels disagree numerically (e.g. tangency)
+        tk = jnp.where(jnp.abs(tk - t) < 1e-2 * (1.0 + jnp.abs(t)), tk, t)
+        nk = jnp.where(is_exit[:, None], n1k, n0k)
+        tsel = jnp.where(sel, tk, tsel)
+        n = jnp.where(sel[:, None], nk, n)
+        oo_sel = jnp.where(sel[:, None], oo, oo_sel)
+        du_sel = jnp.where(sel[:, None], du, du_sel)
+        tex = jnp.where(sel[:, None], jnp.asarray(g.tex_stack)[li][None], tex)
+        tag = jnp.where(sel[:, None], jnp.asarray(g.tag_stack)[li][None], tag)
+        ser = jnp.where(sel, int(g.prim_serial[li]), ser)
+    return tsel, n, oo_sel, du_sel, tex, tag, ser
+
+
 TILE = 256  # rays per traversal packet
 
 
@@ -327,8 +457,13 @@ def dense_pass(sc, garrs, gi, o, d, seed_t, shadow: bool):
                    if g2.m_inv is not None else None)
             ms.append((g2.ptype, cmat, cmi))
         cons.append((positive, ms))
+    bbox = PK.block_aabbs(g.ptype,
+                          {k: v for k, v in ga.items()
+                           if k not in ("m_inv", "m_fwd")},
+                          ga.get("m_fwd"), g.size, PK.BP)
     return PK.dense_intersect(g.ptype, pm, minv, jnp.asarray(vis_np), cons,
-                              sg(o), sg(d), sg(seed_t))
+                              sg(o), sg(d), sg(seed_t),
+                              block_bbox=bbox, shadow=shadow)
 
 
 def bvh_pass(sc, garrs, gi, o, d, seed_t, shadow: bool, tile: int = TILE):
@@ -537,7 +672,7 @@ def intersect(compiled: CompiledScene, arrays, scene_id: int,
         if g.accel is not None:
             continue  # BVH pass below
         if g.vclass != "deferred":
-            continue  # dense brute_scan pass below
+            continue  # dense / convex passes below
         ga = garrs[gi]
         for start in range(0, g.size, prim_chunk):
             sl = slice(start, min(start + prim_chunk, g.size))
@@ -665,8 +800,30 @@ def intersect(compiled: CompiledScene, arrays, scene_id: int,
     # plain/inline groups: dense scan or tile-packet BVH, sequential,
     # each seeded with the running best so later passes cull against
     # earlier hits
+    # convex CSG objects: one interval-intersection candidate per object
+    for cid, csg in enumerate(sc.csgs):
+        if not csg.convex:
+            continue
+        seed = jnp.minimum(best_t, tmax)
+        bt, ordn, is_exit = convex_pass(sc, garrs, csg, o, d, seed, shadow)
+        upd = bt < seed
+        if shadow:
+            best_t = jnp.where(upd, bt, best_t)
+            continue
+        tsel, n, oo_sel, du_sel, tex_sel, tag_sel, ser_sel = \
+            _finalize_convex(sc, garrs, csg, o, d, bt, ordn, is_exit)
+        best_t = jnp.where(upd, tsel, best_t)
+        best_norm = jnp.where(upd[:, None], n, best_norm)
+        best_obj_o = jnp.where(upd[:, None], oo_sel, best_obj_o)
+        best_obj_d = jnp.where(upd[:, None], du_sel, best_obj_d)
+        best_tex = jnp.where(upd[:, None], tex_sel, best_tex)
+        best_tag = jnp.where(upd[:, None], tag_sel, best_tag)
+        best_serial = jnp.where(upd, ser_sel, best_serial)
+        best_csg = jnp.where(upd, -1, best_csg)
+        best_neg = jnp.where(upd, False, best_neg)
+
     for gi, g in enumerate(sc.groups):
-        if g.vclass == "deferred" or g.size == 0:
+        if g.vclass in ("deferred", "convex") or g.size == 0:
             continue
         seed = jnp.minimum(best_t, tmax)
         if g.accel is not None:

@@ -257,13 +257,76 @@ def _inside_comp(ptype, c, x, y, z):
     return jnp.zeros_like(x, dtype=bool)
 
 
+def prim_aabb(ptype: str, params: dict, m_fwd=None):
+    """(bmin, bmax) world AABBs (P, 3) of a dense group's prims, from
+    the device param arrays; None for unbounded types (plane)."""
+    if ptype == "sphere":
+        r = params["radius"][:, None]
+        bmin, bmax = params["center"] - r, params["center"] + r
+    elif ptype == "box":
+        bmin, bmax = params["bmin"], params["bmax"]
+    elif ptype in ("triangle", "trianglenorm"):
+        pts = jnp.stack([params["p1"], params["p2"], params["p3"]])
+        bmin, bmax = pts.min(0), pts.max(0)
+    elif ptype == "disc":
+        r = jnp.sqrt(params["rsqr"])[:, None]
+        bmin, bmax = params["pos"] - r, params["pos"] + r
+    elif ptype == "cylinder":
+        r = params["radius"]
+        bmin = jnp.stack([-r, -r, params["h1"]], axis=-1)
+        bmax = jnp.stack([r, r, params["h2"]], axis=-1)
+    elif ptype == "cone":
+        r = params["radius"]
+        bmin = jnp.stack([-r, -r, params["clip1"]], axis=-1)
+        bmax = jnp.stack([r, r, params["clip2"]], axis=-1)
+    else:
+        return None
+    if m_fwd is not None:
+        corners = jnp.stack(
+            [jnp.stack([bmin[:, 0] if i & 1 else bmax[:, 0],
+                        bmin[:, 1] if i & 2 else bmax[:, 1],
+                        bmin[:, 2] if i & 4 else bmax[:, 2]], axis=-1)
+             for i in range(8)], axis=1)                      # (P, 8, 3)
+        w = jnp.einsum('pkj,pij->pki', corners, m_fwd[:, :, :3]) \
+            + m_fwd[:, None, :, 3]
+        return w.min(axis=1), w.max(axis=1)
+    return bmin, bmax
+
+
+def block_aabbs(ptype: str, params: dict, m_fwd, P: int, bp: int):
+    """Per-128-lane-block AABB table (n_j, 8) for the culling test, or
+    None when the type is unbounded."""
+    ab = prim_aabb(ptype, params, m_fwd)
+    if ab is None:
+        return None
+    bmin, bmax = ab
+    n_j = (P + bp - 1) // bp
+    pad = n_j * bp - P
+    if pad:
+        bmin = jnp.concatenate(
+            [bmin, jnp.full((pad, 3), jnp.inf, bmin.dtype)])
+        bmax = jnp.concatenate(
+            [bmax, jnp.full((pad, 3), -jnp.inf, bmax.dtype)])
+    blo = bmin.reshape(n_j, bp, 3).min(axis=1)
+    bhi = bmax.reshape(n_j, bp, 3).max(axis=1)
+    return jnp.concatenate(
+        [blo, bhi, jnp.zeros((n_j, 2), blo.dtype)], axis=-1)
+
+
 def dense_intersect(ptype: str, params_T, m_inv, vis, constraints,
-                    o, d, seed_t, interpret: Optional[bool] = None):
+                    o, d, seed_t, interpret: Optional[bool] = None,
+                    block_bbox=None, shadow: bool = False):
     """Nearest valid candidate of every ray against a dense prim group.
 
     params_T: (F, P) transposed packed params.  m_inv: (P, 12) or None.
     vis: (P,) float 0/1.  constraints: list of
     (positive, [(ptype2, cparams (M, F2), cminv (M, 12) or None)]).
+    block_bbox: optional (n_j, 8) per-prim-block AABB table; when given,
+    each grid step slab-tests the whole ray tile against the block's box
+    (vs the running best-t) and skips the prim tests on a miss -- with
+    Morton-ordered prims this culls most (ray tile, prim block) pairs.
+    shadow adds any-hit early-out: a tile whose rays all found blockers
+    skips remaining blocks.
     Returns (best_t, best_local); best_t == seed_t where nothing nearer.
     """
     if interpret is None:
@@ -274,6 +337,7 @@ def dense_intersect(ptype: str, params_T, m_inv, vis, constraints,
     BN = _pick_bn(n_cons)
     n_i = pl.cdiv(N, BN)
     n_j = pl.cdiv(P, BP)
+    cull = block_bbox is not None and n_j > 1
     transformed = m_inv is not None
     tker = _T_KERNELS[ptype]
 
@@ -290,8 +354,12 @@ def dense_intersect(ptype: str, params_T, m_inv, vis, constraints,
                 cons_tables.append(jnp.asarray(cminv, jnp.float32))
         cons_layout.append((positive, ml))
 
-    def kernel(o_ref, d_ref, seed_ref, pm_ref, vis_ref, *rest):
+    def kernel(rays_ref, pm_ref, vis_ref, *rest):
         k = 0
+        bbox_ref = None
+        if cull:
+            bbox_ref = rest[k]
+            k += 1
         minv_ref = None
         if transformed:
             minv_ref = rest[k]
@@ -302,95 +370,133 @@ def dense_intersect(ptype: str, params_T, m_inv, vis, constraints,
 
         j = pl.program_id(1)
 
+        # rays arrive as (8, BN) component planes (a lane-major layout
+        # with zero tile padding; (BN, 3) operands would be padded 42x
+        # in HBM by the (8,128) tiling); rotate each component to a
+        # (BN, 1) column for the rays-down-sublanes candidate layout.
+        def rrow(idx):
+            return rays_ref[idx:idx + 1, :].reshape(BN, 1)
+
+        ox, oy, oz = rrow(0), rrow(1), rrow(2)
+        dx, dy, dz = rrow(3), rrow(4), rrow(5)
+        seed_col = rrow(6)
+
         @pl.when(j == 0)
         def _():
-            out_t[:] = seed_ref[:]
-            out_l[:] = jnp.full((BN, 1), -1, jnp.int32)
+            out_t[:] = seed_col.reshape(1, BN)
+            out_l[:] = jnp.full((1, BN), -1, jnp.int32)
 
-        ox = o_ref[:, 0:1]
-        oy = o_ref[:, 1:2]
-        oz = o_ref[:, 2:3]
-        dx = d_ref[:, 0:1]
-        dy = d_ref[:, 1:2]
-        dz = d_ref[:, 2:3]
+        if cull:
+            # tile-vs-block AABB rejection against the running best
+            bt0 = out_t[:].reshape(BN, 1)
+            def slab(lo, hi, oc, dc):
+                inv = 1.0 / jnp.where(dc == 0.0, 1e-20, dc)
+                ta = (lo - oc) * inv
+                tb = (hi - oc) * inv
+                return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
+            nx, fx = slab(bbox_ref[j, 0], bbox_ref[j, 3], ox, dx)
+            ny, fy = slab(bbox_ref[j, 1], bbox_ref[j, 4], oy, dy)
+            nz, fz = slab(bbox_ref[j, 2], bbox_ref[j, 5], oz, dz)
+            near = jnp.maximum(jnp.maximum(nx, ny), nz)
+            far = jnp.minimum(jnp.minimum(fx, fy), fz)
+            live = (near <= far) & (far > 0.0) & (near < bt0)
+            if shadow:
+                live = live & (bt0 >= seed_col)
+            do_block = jnp.any(live)
+        else:
+            do_block = None
 
         def p(idx):
             return pm_ref[idx:idx + 1, :]                 # (1, BP)
 
-        if transformed:
-            def m(idx):
-                return minv_ref[idx:idx + 1, :]           # (1, BP)
-            # object-space ray per (ray, prim) pair
-            pox = m(0) * ox + m(1) * oy + m(2) * oz + m(3)
-            poy = m(4) * ox + m(5) * oy + m(6) * oz + m(7)
-            poz = m(8) * ox + m(9) * oy + m(10) * oz + m(11)
-            pdx = m(0) * dx + m(1) * dy + m(2) * dz
-            pdy = m(4) * dx + m(5) * dy + m(6) * dz
-            pdz = m(8) * dx + m(9) * dy + m(10) * dz
-            ils = jax.lax.rsqrt(pdx * pdx + pdy * pdy + pdz * pdz)
-            t0, t1 = tker(p, pox, poy, poz,
-                          pdx * ils, pdy * ils, pdz * ils)
-            t0 = jnp.where(t0 >= INF, INF, t0 * ils)
-            t1 = jnp.where(t1 >= INF, INF, t1 * ils)
+        def block_body():
+            if transformed:
+                def m(idx):
+                    return minv_ref[idx:idx + 1, :]       # (1, BP)
+                # object-space ray per (ray, prim) pair
+                pox = m(0) * ox + m(1) * oy + m(2) * oz + m(3)
+                poy = m(4) * ox + m(5) * oy + m(6) * oz + m(7)
+                poz = m(8) * ox + m(9) * oy + m(10) * oz + m(11)
+                pdx = m(0) * dx + m(1) * dy + m(2) * dz
+                pdy = m(4) * dx + m(5) * dy + m(6) * dz
+                pdz = m(8) * dx + m(9) * dy + m(10) * dz
+                ils = jax.lax.rsqrt(pdx * pdx + pdy * pdy + pdz * pdz)
+                t0, t1 = tker(p, pox, poy, poz,
+                              pdx * ils, pdy * ils, pdz * ils)
+                t0 = jnp.where(t0 >= INF, INF, t0 * ils)
+                t1 = jnp.where(t1 >= INF, INF, t1 * ils)
+            else:
+                t0, t1 = tker(p, ox, oy, oz, dx, dy, dz)
+
+            bt = out_t[:].reshape(BN, 1)
+            visrow = vis_ref[0:1, :] > 0.5                # (1, BP)
+            pid = jax.lax.broadcasted_iota(jnp.int32, (1, BP), 1) + j * BP
+            ok = visrow & (pid < P)
+            v0 = ok & (t0 > 0.0) & (t0 < bt)
+            v1 = ok & (t1 > 0.0) & (t1 < bt)
+
+            if cons_layout:
+                for which, (tv, vm) in enumerate(((t0, v0), (t1, v1))):
+                    px_ = ox + dx * tv
+                    py_ = oy + dy * tv
+                    pz_ = oz + dz * tv
+                    allok = jnp.ones_like(vm)
+                    for positive, ml in cons_layout:
+                        inn = jnp.zeros_like(vm)
+                        for cptype, ci, has_inv, M in ml:
+                            tab = cons_refs[ci]
+                            for mrow in range(M):
+                                if has_inv:
+                                    itab = cons_refs[ci + 1]
+                                    def mi(q):
+                                        return itab[mrow, q]
+                                    cx = (mi(0) * px_ + mi(1) * py_
+                                          + mi(2) * pz_ + mi(3))
+                                    cy = (mi(4) * px_ + mi(5) * py_
+                                          + mi(6) * pz_ + mi(7))
+                                    cz = (mi(8) * px_ + mi(9) * py_
+                                          + mi(10) * pz_ + mi(11))
+                                else:
+                                    cx, cy, cz = px_, py_, pz_
+                                def c(q, tab=tab, mrow=mrow):
+                                    return tab[mrow, q]
+                                inn = inn | _inside_comp(cptype, c, cx, cy, cz)
+                        allok = allok & (inn == positive)
+                    if which == 0:
+                        v0 = v0 & allok
+                    else:
+                        v1 = v1 & allok
+
+            tc = jnp.where(v0, t0, jnp.where(v1, t1, INF))
+            tbest = jnp.min(tc, axis=-1, keepdims=True)   # (BN, 1)
+            arg = jnp.argmin(tc, axis=-1).astype(jnp.int32)[:, None]
+            lbest = arg + j * BP
+            better = tbest < bt
+            out_t[:] = jnp.where(better, tbest, bt).reshape(1, BN)
+            out_l[:] = jnp.where(better, lbest,
+                                 out_l[:].reshape(BN, 1)).reshape(1, BN)
+
+        if cull:
+            pl.when(do_block)(block_body)
         else:
-            t0, t1 = tker(p, ox, oy, oz, dx, dy, dz)
+            block_body()
 
-        bt = out_t[:]                                     # (BN, 1)
-        visrow = vis_ref[0:1, :] > 0.5                    # (1, BP)
-        pid = jax.lax.broadcasted_iota(jnp.int32, (1, BP), 1) + j * BP
-        ok = visrow & (pid < P)
-        v0 = ok & (t0 > 0.0) & (t0 < bt)
-        v1 = ok & (t1 > 0.0) & (t1 < bt)
-
-        if cons_layout:
-            for which, (tv, vm) in enumerate(((t0, v0), (t1, v1))):
-                px_ = ox + dx * tv
-                py_ = oy + dy * tv
-                pz_ = oz + dz * tv
-                allok = jnp.ones_like(vm)
-                for positive, ml in cons_layout:
-                    inn = jnp.zeros_like(vm)
-                    for cptype, ci, has_inv, M in ml:
-                        tab = cons_refs[ci]
-                        for mrow in range(M):
-                            if has_inv:
-                                itab = cons_refs[ci + 1]
-                                def mi(q):
-                                    return itab[mrow, q]
-                                cx = (mi(0) * px_ + mi(1) * py_
-                                      + mi(2) * pz_ + mi(3))
-                                cy = (mi(4) * px_ + mi(5) * py_
-                                      + mi(6) * pz_ + mi(7))
-                                cz = (mi(8) * px_ + mi(9) * py_
-                                      + mi(10) * pz_ + mi(11))
-                            else:
-                                cx, cy, cz = px_, py_, pz_
-                            def c(q, tab=tab, mrow=mrow):
-                                return tab[mrow, q]
-                            inn = inn | _inside_comp(cptype, c, cx, cy, cz)
-                    allok = allok & (inn == positive)
-                if which == 0:
-                    v0 = v0 & allok
-                else:
-                    v1 = v1 & allok
-
-        tc = jnp.where(v0, t0, jnp.where(v1, t1, INF))
-        tbest = jnp.min(tc, axis=-1, keepdims=True)       # (BN, 1)
-        arg = jnp.argmin(tc, axis=-1).astype(jnp.int32)[:, None]
-        lbest = arg + j * BP
-        better = tbest < bt
-        out_t[:] = jnp.where(better, tbest, bt)
-        out_l[:] = jnp.where(better, lbest, out_l[:])
-
+    # one (8, N) component-plane ray array: zero padding under the TPU
+    # (8, 128) tiling, where (N, 3)/(N, 1) operands would blow up 42/128x
+    rays8 = jnp.stack([o[:, 0], o[:, 1], o[:, 2],
+                       d[:, 0], d[:, 1], d[:, 2],
+                       seed_t, jnp.zeros_like(seed_t)])
     in_specs = [
-        pl.BlockSpec((BN, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((BN, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((BN, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, BN), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((F, BP), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, BP), lambda i, j: (0, j), memory_space=pltpu.VMEM),
     ]
-    inputs = [o, d, seed_t[:, None], params_T,
-              jnp.asarray(vis)[None, :]]
+    inputs = [rays8, params_T, jnp.asarray(vis)[None, :]]
+    if cull:
+        # whole table in SMEM, indexed by the grid step (blocked SMEM
+        # specs need 8-divisible blocks; the table is tiny)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(block_bbox)
     if transformed:
         in_specs.append(pl.BlockSpec((12, BP), lambda i, j: (0, j),
                                      memory_space=pltpu.VMEM))
@@ -399,11 +505,11 @@ def dense_intersect(ptype: str, params_T, m_inv, vis, constraints,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(jnp.asarray(tab))
 
-    out_shape = (jax.ShapeDtypeStruct((N, 1), o.dtype),
-                 jax.ShapeDtypeStruct((N, 1), jnp.int32))
-    out_specs = (pl.BlockSpec((BN, 1), lambda i, j: (i, 0),
+    out_shape = (jax.ShapeDtypeStruct((1, N), o.dtype),
+                 jax.ShapeDtypeStruct((1, N), jnp.int32))
+    out_specs = (pl.BlockSpec((1, BN), lambda i, j: (0, i),
                               memory_space=pltpu.VMEM),
-                 pl.BlockSpec((BN, 1), lambda i, j: (i, 0),
+                 pl.BlockSpec((1, BN), lambda i, j: (0, i),
                               memory_space=pltpu.VMEM))
 
     bt, bl = pl.pallas_call(
@@ -414,4 +520,4 @@ def dense_intersect(ptype: str, params_T, m_inv, vis, constraints,
         out_shape=out_shape,
         interpret=interpret,
     )(*inputs)
-    return bt[:, 0], bl[:, 0]
+    return bt[0], bl[0]

@@ -144,3 +144,49 @@ def test_csg_shadow_pass():
     blocked = shadow_query(compiled, arrays, 0, o, d,
                            jnp.asarray([10.0]))
     assert not bool(blocked[0])
+
+
+def test_convex_fast_path_matches_general_path():
+    # an icosahedron-style convex intersection (planes + bounding sphere,
+    # some transformed members) must produce identical hits through the
+    # convex interval fast path and the general inline/deferred path
+    rng = np.random.RandomState(7)
+    members = []
+    for i in range(9):
+        n = rng.normal(size=3)
+        n /= np.linalg.norm(n)
+        members.append(G.plane_offset(n, rng.uniform(0.6, 1.2)))
+    members.append(G.sphere((0.1, -0.05, 0.0), 1.15))
+    members.append(G.transform(
+        G.cylinder((0, 0, -1.2), (0, 0, 1.2), 1.1),
+        [G.rotate((1, 0, 0), 10.0)]))
+    solid = G.intersection(members)
+
+    compiled, arrays = _setup(solid)
+    assert any(c.convex for c in compiled.scenes[0].csgs)
+
+    from glome_tpu.compile import Compiler
+    orig = Compiler._convex_cids
+    try:
+        Compiler._convex_cids = lambda self, build: set()
+        compiled_gen, arrays_gen = _setup(solid)
+    finally:
+        Compiler._convex_cids = orig
+    assert not any(c.convex for c in compiled_gen.scenes[0].csgs)
+
+    n = 512
+    o = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    dd = rng.normal(size=(n, 3))
+    dd = (dd / np.linalg.norm(dd, axis=-1, keepdims=True)).astype(np.float32)
+
+    fa = jax.jit(lambda a, o_, d_: intersect(compiled, a, 0, o_, d_))
+    fb = jax.jit(lambda a, o_, d_: intersect(compiled_gen, a, 0, o_, d_))
+    ha = fa(arrays, o, dd)
+    hb = fb(arrays_gen, o, dd)
+    np.testing.assert_array_equal(np.asarray(ha.hit), np.asarray(hb.hit))
+    hit = np.asarray(ha.hit)
+    np.testing.assert_allclose(np.asarray(ha.t)[hit], np.asarray(hb.t)[hit],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ha.norm)[hit],
+                               np.asarray(hb.norm)[hit],
+                               rtol=1e-3, atol=1e-3)
