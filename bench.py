@@ -61,9 +61,12 @@ def main():
     setup_s = time.time() - t0
     print(f"# scene setup {setup_s:.1f}s", file=sys.stderr)
 
+    from glome_tpu.render import tile_order
     ys, xs = np.mgrid[0:cfg.yres, 0:cfg.xres]
-    o, d = renderer.rays_for_pixels(xs.reshape(-1).astype(np.float32),
-                                    ys.reshape(-1).astype(np.float32))
+    perm = tile_order(cfg.xres, cfg.yres)  # 32x32 beams (renderer order)
+    o, d = renderer.rays_for_pixels(
+        xs.reshape(-1)[perm].astype(np.float32),
+        ys.reshape(-1)[perm].astype(np.float32))
     o = jax.device_put(o)
     d = jax.device_put(d)
 

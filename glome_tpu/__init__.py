@@ -27,5 +27,6 @@ from .trace import Tracer, TraceResult
 from .trace_wavefront import WavefrontTracer
 from .render import Camera, Renderer, camera
 from .intersect import Hit, intersect, shadow_query
+from .query import inside, metainfo
 
 __version__ = "0.1.0"

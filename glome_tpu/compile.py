@@ -48,8 +48,12 @@ CHEAP_CONSTRAINTS_MAX = 24
 
 # groups at or below this size are intersected by dense brute force (a
 # lockstep scan over prim chunks): on a TPU dense VPU work beats
-# divergent per-tile tree traversal until several thousand prims.
-ACCEL_MIN_SIZE = 4096
+# divergent per-tile tree traversal up to ~1-2k prims (honest chained
+# timings, tools/profile_honest.py: 2.8k-sphere lattice 53 ms dense vs
+# 14 ms BVH; 1k transformed cones 17 ms dense vs 91 ms BVH -- per-prim
+# matrix gathers dominate the transformed BVH leaf tests, so
+# transformed groups stay dense regardless of size).
+ACCEL_MIN_SIZE = 2048
 
 # primitive type tags (group order is irrelevant; kernels dispatch on this)
 PTYPES = ("sphere", "plane", "box", "triangle", "trianglenorm", "disc",
@@ -752,8 +756,8 @@ class Compiler:
                                for gi2, lis in sorted(bygroup.items())]
                     cons.append((signs[ci], members))
                 g.constraints = cons
-            if (g.ptype != "plane" and g.vclass != "deferred"
-                    and g.size > accel_min_size):
+            if (g.ptype != "plane" and g.vclass not in ("deferred", "convex")
+                    and g.m_inv is None and g.size > accel_min_size):
                 bmin, bmax = _accel.group_bounds(g)
                 g.accel = _accel.build_bvh(bmin, bmax)
 

@@ -444,19 +444,7 @@ def dense_pass(sc, garrs, gi, o, d, seed_t, shadow: bool):
                                     if k not in ("m_inv", "m_fwd")})
     minv = ga.get("m_inv")
     vis_np = ((~g.noshadow) if shadow else (~g.onlyshadow)).astype(np.float32)
-    cons = []
-    for positive, members in (g.constraints or []):
-        ms = []
-        for gi2, idx in members:
-            g2 = sc.groups[gi2]
-            ga2 = jax.tree.map(sg, garrs[gi2])
-            cmat = PK.pack_params_rows(g2.ptype,
-                                       {k: ga2[k][idx] for k in ga2
-                                        if k not in ("m_inv", "m_fwd")})
-            cmi = (ga2["m_inv"][idx].reshape(len(idx), 12)
-                   if g2.m_inv is not None else None)
-            ms.append((g2.ptype, cmat, cmi))
-        cons.append((positive, ms))
+    cons = PK.pack_constraints(sc, garrs, g)
     bbox = PK.block_aabbs(g.ptype,
                           {k: v for k, v in ga.items()
                            if k not in ("m_inv", "m_fwd")},
@@ -464,6 +452,32 @@ def dense_pass(sc, garrs, gi, o, d, seed_t, shadow: bool):
     return PK.dense_intersect(g.ptype, pm, minv, jnp.asarray(vis_np), cons,
                               sg(o), sg(d), sg(seed_t),
                               block_bbox=bbox, shadow=shadow)
+
+
+def bvh_dispatch(sc, garrs, gi, o, d, seed_t, shadow: bool):
+    """Route an accelerated group to the per-tile Pallas traversal
+    kernel on TPU (untransformed groups; the whole node table and prim
+    params live in SMEM), else the lockstep jnp traversal."""
+    import jax
+
+    g = sc.groups[gi]
+    if jax.default_backend() != "tpu" or g.m_inv is not None:
+        return bvh_pass(sc, garrs, gi, o, d, seed_t, shadow)
+    from . import pallas_kernels as PK
+    sg = jax.lax.stop_gradient
+    ga = jax.tree.map(sg, garrs[gi])
+    order = np.asarray(g.accel.order)
+    params_lo = {k: ga[k][order] for k in ga
+                 if k not in ("m_inv", "m_fwd")}
+    rows = PK.pack_params_rows(g.ptype, params_lo)
+    vis_np = (((~g.noshadow) if shadow else (~g.onlyshadow))[order]
+              .astype(np.float32))
+    cons = PK.pack_constraints(sc, garrs, g)
+    bt, bl_leaf = PK.bvh_intersect(g.ptype, g.accel, rows,
+                                   jnp.asarray(vis_np), cons,
+                                   sg(o), sg(d), sg(seed_t), shadow=shadow)
+    local = jnp.asarray(order)[jnp.maximum(bl_leaf, 0)]
+    return bt, jnp.where(bl_leaf >= 0, local.astype(jnp.int32), -1)
 
 
 def bvh_pass(sc, garrs, gi, o, d, seed_t, shadow: bool, tile: int = TILE):
@@ -642,23 +656,18 @@ def _finalize_winner(sc, garrs, gi, o, d, t, local):
     return tsel, n, oo, du, tex, tag, ser
 
 
-def intersect(compiled: CompiledScene, arrays, scene_id: int,
-              o, d, tmax=None, shadow: bool = False,
-              prim_chunk: int = PRIM_CHUNK) -> Hit:
-    """Nearest valid hit of N rays against a packed scene.
-
-    o, d: (N, 3); d unit length.  tmax: (N,) or None (= INFINITY).
-    shadow=True applies shadow-pass semantics: prims flagged noshadow are
-    skipped, onlyshadow prims participate (Tex.hs:81-96).
-    """
-    sc = compiled.scenes[scene_id]
-    garrs = arrays["scenes"][scene_id]
+def _deferred_group(sc, garrs, gi, o, d, tmax, shadow: bool,
+                    prim_chunk: int = PRIM_CHUNK):
+    """Full advance-and-retest CSG candidate logic for one deferred
+    group over the given rays.  Returns per-ray group-local best
+    (t, norm, obj_o, obj_d, tex, tag, serial, csg, neg); t == INFINITY
+    where no valid candidate.  Heavy (membership scans per candidate);
+    intersect() runs it on a compacted ray subset."""
+    g = sc.groups[gi]
+    ga = garrs[gi]
     N = o.shape[0]
     dt = o.dtype
-    if tmax is None:
-        tmax = jnp.full((N,), INFINITY, dtype=dt)
-
-    best_t = jnp.full((N,), INFINITY, dtype=dt)
+    best_t = jnp.full((N,), INFINITY, dtype=dt) + 0.0 * o[:, 0]
     best_norm = jnp.zeros((N, 3), dtype=dt)
     best_obj_o = o
     best_obj_d = d
@@ -668,12 +677,7 @@ def intersect(compiled: CompiledScene, arrays, scene_id: int,
     best_csg = jnp.full((N,), -1, dtype=jnp.int32)
     best_neg = jnp.zeros((N,), dtype=bool)
 
-    for gi, g in enumerate(sc.groups):
-        if g.accel is not None:
-            continue  # BVH pass below
-        if g.vclass != "deferred":
-            continue  # dense / convex passes below
-        ga = garrs[gi]
+    if True:
         for start in range(0, g.size, prim_chunk):
             sl = slice(start, min(start + prim_chunk, g.size))
             P = sl.stop - sl.start
@@ -797,10 +801,78 @@ def intersect(compiled: CompiledScene, arrays, scene_id: int,
             best_neg = jnp.where(upd, flip, best_neg)
             best_t = jnp.where(upd, tbest, best_t)
 
-    # plain/inline groups: dense scan or tile-packet BVH, sequential,
-    # each seeded with the running best so later passes cull against
-    # earlier hits
-    # convex CSG objects: one interval-intersection candidate per object
+    return (best_t, best_norm, best_obj_o, best_obj_d, best_tex,
+            best_tag, best_serial, best_csg, best_neg)
+
+
+def _deferred_eligible(sc, garrs, gi, o, d, seed,
+                       prim_chunk: int = PRIM_CHUNK):
+    """Cheap prefilter: rays with any 0 < t < seed candidate on the
+    deferred group (validity NOT checked -- superset of real hits)."""
+    g = sc.groups[gi]
+    ga = garrs[gi]
+    N = o.shape[0]
+    elig = jnp.zeros((N,), dtype=bool)
+    for start in range(0, g.size, prim_chunk):
+        sl = slice(start, min(start + prim_chunk, g.size))
+        params = _slice_params(ga, g, sl)
+        if g.m_inv is not None:
+            minv = ga["m_inv"][sl]
+            oo = apply_point(minv[None], o[:, None, :])
+            dd = apply_vector(minv[None], d[:, None, :])
+            ils = 1.0 / jnp.sqrt(jnp.sum(dd * dd, axis=-1))
+            du = dd * ils[..., None]
+            t0, _, t1, _ = _kernel_hits2(g.ptype, params, oo, du)
+            t0 = jnp.where(t0 >= INFINITY, INFINITY, t0 * ils)
+            t1 = jnp.where(t1 >= INFINITY, INFINITY, t1 * ils)
+        else:
+            t0, _, t1, _ = _kernel_hits2(g.ptype, params, o[:, None, :],
+                                         d[:, None, :])
+        ok = ((t0 > 0.0) & (t0 < seed[:, None])) \
+            | ((t1 > 0.0) & (t1 < seed[:, None]))
+        elig = elig | jnp.any(ok, axis=-1)
+    return elig
+
+
+# fraction of the ray batch that may produce deferred-CSG candidates
+# after earlier passes have tightened best-t; candidates beyond the cap
+# are dropped (generous: measured TestScene occupancy is a few percent)
+DEFERRED_CAP_FRAC = 0.25
+
+
+def intersect(compiled: CompiledScene, arrays, scene_id: int,
+              o, d, tmax=None, shadow: bool = False,
+              prim_chunk: int = PRIM_CHUNK) -> Hit:
+    """Nearest valid hit of N rays against a packed scene.
+
+    o, d: (N, 3); d unit length.  tmax: (N,) or None (= INFINITY).
+    shadow=True applies shadow-pass semantics: prims flagged noshadow are
+    skipped, onlyshadow prims participate (Tex.hs:81-96).
+
+    Pass order (each seeded with the running best so later passes cull):
+    convex CSG objects, dense/BVH groups, then deferred CSG groups last
+    on a COMPACTED eligible-ray subset -- their validity checks scan
+    whole clause member sets, so they run only on the few rays whose
+    candidates could still win.
+    """
+    sc = compiled.scenes[scene_id]
+    garrs = arrays["scenes"][scene_id]
+    N = o.shape[0]
+    dt = o.dtype
+    if tmax is None:
+        tmax = jnp.full((N,), INFINITY, dtype=dt)
+
+    best_t = jnp.full((N,), INFINITY, dtype=dt)
+    best_norm = jnp.zeros((N, 3), dtype=dt)
+    best_obj_o = o
+    best_obj_d = d
+    best_tex = jnp.full((N, TEX_DEPTH), -1, dtype=jnp.int32)
+    best_tag = jnp.full((N, TAG_DEPTH), -1, dtype=jnp.int32)
+    best_serial = jnp.full((N,), -1, dtype=jnp.int32)
+    best_csg = jnp.full((N,), -1, dtype=jnp.int32)
+    best_neg = jnp.zeros((N,), dtype=bool)
+
+    # convex CSG objects: one interval candidate per object
     for cid, csg in enumerate(sc.csgs):
         if not csg.convex:
             continue
@@ -827,7 +899,7 @@ def intersect(compiled: CompiledScene, arrays, scene_id: int,
             continue
         seed = jnp.minimum(best_t, tmax)
         if g.accel is not None:
-            bt, bl = bvh_pass(sc, garrs, gi, o, d, seed, shadow)
+            bt, bl = bvh_dispatch(sc, garrs, gi, o, d, seed, shadow)
         else:
             bt, bl = dense_pass(sc, garrs, gi, o, d, seed, shadow)
         upd = bt < seed
@@ -846,6 +918,60 @@ def intersect(compiled: CompiledScene, arrays, scene_id: int,
         csg_sel = jnp.asarray(g.csg_id)[jnp.maximum(bl, 0)]
         best_csg = jnp.where(upd, csg_sel, best_csg)
         best_neg = jnp.where(upd, False, best_neg)
+
+    # deferred CSG groups, compacted: prefilter rays with any candidate
+    # nearer than the running best, gather them, run the full
+    # advance-and-retest logic (whole-clause membership scans) on that
+    # small subset only, scatter winners back
+    for gi, g in enumerate(sc.groups):
+        if g.vclass != "deferred" or g.size == 0:
+            continue
+        seed = jnp.minimum(best_t, tmax)
+        elig = _deferred_eligible(sc, garrs, gi, o, d, seed)
+        cap = max(256, int(N * DEFERRED_CAP_FRAC))
+        if cap >= N:
+            (dt_, dnorm, doo, ddu, dtex, dtag, dser, dcsg, dneg) = \
+                _deferred_group(sc, garrs, gi, o, d, seed, shadow,
+                                prim_chunk)
+            upd = dt_ < seed
+        else:
+            (ridx,) = jnp.nonzero(elig, size=cap, fill_value=N)
+            take = lambda x: jnp.take(x, ridx, axis=0, mode='fill',
+                                      fill_value=0)
+            oS, dS = take(o), take(d)
+            dS = jnp.where((ridx < N)[:, None], dS,
+                           jnp.zeros_like(dS).at[:, 2].set(1.0))
+            seedS = jnp.where(ridx < N, jnp.take(seed, ridx, axis=0,
+                                                 mode='fill',
+                                                 fill_value=0.0), 0.0)
+            (ct, cnorm, coo, cdu, ctex, ctag, cser, ccsg, cneg) = \
+                _deferred_group(sc, garrs, gi, oS, dS, seedS, shadow,
+                                prim_chunk)
+
+            def scat(init, vals):
+                return init.at[ridx].set(vals, mode='drop')
+            dt_ = scat(jnp.full((N,), INFINITY, dtype=dt), ct)
+            upd = dt_ < seed
+            if not shadow:
+                dnorm = scat(jnp.zeros((N, 3), dt), cnorm)
+                doo = scat(jnp.zeros((N, 3), dt), coo)
+                ddu = scat(jnp.zeros((N, 3), dt), cdu)
+                dtex = scat(jnp.full((N, TEX_DEPTH), -1, jnp.int32), ctex)
+                dtag = scat(jnp.full((N, TAG_DEPTH), -1, jnp.int32), ctag)
+                dser = scat(jnp.full((N,), -1, jnp.int32), cser)
+                dcsg = scat(jnp.full((N,), -1, jnp.int32), ccsg)
+                dneg = scat(jnp.zeros((N,), bool), cneg)
+        best_t = jnp.where(upd, dt_, best_t)
+        if shadow:
+            continue
+        best_norm = jnp.where(upd[:, None], dnorm, best_norm)
+        best_obj_o = jnp.where(upd[:, None], doo, best_obj_o)
+        best_obj_d = jnp.where(upd[:, None], ddu, best_obj_d)
+        best_tex = jnp.where(upd[:, None], dtex, best_tex)
+        best_tag = jnp.where(upd[:, None], dtag, best_tag)
+        best_serial = jnp.where(upd, dser, best_serial)
+        best_csg = jnp.where(upd, dcsg, best_csg)
+        best_neg = jnp.where(upd, dneg, best_neg)
 
     hit = best_t < INFINITY
     pos = vscaleadd(o, d, jnp.where(hit, best_t, 0.0))

@@ -313,6 +313,53 @@ def block_aabbs(ptype: str, params: dict, m_fwd, P: int, bp: int):
         [blo, bhi, jnp.zeros((n_j, 2), blo.dtype)], axis=-1)
 
 
+def _eval_constraints(cons_layout, cons_refs, px_, py_, pz_, like):
+    """Inline CSG clause check at candidate points (shared by the dense
+    and BVH kernels).  cons_layout rows: (positive, [(ptype, table_idx,
+    has_inv, M)]); tables are SMEM scalars."""
+    allok = jnp.ones_like(like)
+    for positive, ml in cons_layout:
+        inn = jnp.zeros_like(like)
+        for cptype, ci, has_inv, M in ml:
+            tab = cons_refs[ci]
+            for mrow in range(M):
+                if has_inv:
+                    itab = cons_refs[ci + 1]
+                    def mi(q):
+                        return itab[mrow, q]
+                    cx = mi(0) * px_ + mi(1) * py_ + mi(2) * pz_ + mi(3)
+                    cy = mi(4) * px_ + mi(5) * py_ + mi(6) * pz_ + mi(7)
+                    cz = mi(8) * px_ + mi(9) * py_ + mi(10) * pz_ + mi(11)
+                else:
+                    cx, cy, cz = px_, py_, pz_
+                def c(q, tab=tab, mrow=mrow):
+                    return tab[mrow, q]
+                inn = inn | _inside_comp(cptype, c, cx, cy, cz)
+        allok = allok & (inn == positive)
+    return allok
+
+
+def pack_constraints(sc, garrs, g, stop_grad=True):
+    """(cons_layout-ready list, SMEM tables) for a group's inline CSG
+    constraints, shared prep for dense_intersect / bvh_intersect."""
+    import jax as _jax
+    sg = (_jax.lax.stop_gradient if stop_grad else (lambda x: x))
+    cons = []
+    for positive, members in (g.constraints or []):
+        ms = []
+        for gi2, idx in members:
+            g2 = sc.groups[gi2]
+            ga2 = _jax.tree.map(sg, garrs[gi2])
+            cmat = pack_params_rows(g2.ptype,
+                                    {k: ga2[k][idx] for k in ga2
+                                     if k not in ("m_inv", "m_fwd")})
+            cmi = (ga2["m_inv"][idx].reshape(len(idx), 12)
+                   if g2.m_inv is not None else None)
+            ms.append((g2.ptype, cmat, cmi))
+        cons.append((positive, ms))
+    return cons
+
+
 def dense_intersect(ptype: str, params_T, m_inv, vis, constraints,
                     o, d, seed_t, interpret: Optional[bool] = None,
                     block_bbox=None, shadow: bool = False):
@@ -440,28 +487,8 @@ def dense_intersect(ptype: str, params_T, m_inv, vis, constraints,
                     px_ = ox + dx * tv
                     py_ = oy + dy * tv
                     pz_ = oz + dz * tv
-                    allok = jnp.ones_like(vm)
-                    for positive, ml in cons_layout:
-                        inn = jnp.zeros_like(vm)
-                        for cptype, ci, has_inv, M in ml:
-                            tab = cons_refs[ci]
-                            for mrow in range(M):
-                                if has_inv:
-                                    itab = cons_refs[ci + 1]
-                                    def mi(q):
-                                        return itab[mrow, q]
-                                    cx = (mi(0) * px_ + mi(1) * py_
-                                          + mi(2) * pz_ + mi(3))
-                                    cy = (mi(4) * px_ + mi(5) * py_
-                                          + mi(6) * pz_ + mi(7))
-                                    cz = (mi(8) * px_ + mi(9) * py_
-                                          + mi(10) * pz_ + mi(11))
-                                else:
-                                    cx, cy, cz = px_, py_, pz_
-                                def c(q, tab=tab, mrow=mrow):
-                                    return tab[mrow, q]
-                                inn = inn | _inside_comp(cptype, c, cx, cy, cz)
-                        allok = allok & (inn == positive)
+                    allok = _eval_constraints(cons_layout, cons_refs,
+                                              px_, py_, pz_, vm)
                     if which == 0:
                         v0 = v0 & allok
                     else:
@@ -521,3 +548,186 @@ def dense_intersect(ptype: str, params_T, m_inv, vis, constraints,
         interpret=interpret,
     )(*inputs)
     return bt[0], bl[0]
+
+
+# --- per-tile BVH traversal ------------------------------------------------
+
+RT = 1024  # rays per traversal tile, laid out as one (8, 128) vreg block
+
+
+def bvh_intersect(ptype: str, bvh, params_leaf_rows, vis_leaf, constraints,
+                  o, d, seed_t, shadow: bool = False,
+                  interpret: Optional[bool] = None):
+    """Skip-link BVH traversal, one (8,128)-ray tile per grid step.
+
+    TPU-native traversal design: the whole node table and the
+    leaf-ordered prim parameters are SCALARS in SMEM (tens of KB), so a
+    tile's node pointer is one scalar and a traversal step is pure
+    (8,128) vector math against scalar bounds -- no gathers at all.
+    Grid steps are sequential, so total work adapts per tile (a tile
+    that misses the root exits after one step), unlike a lockstep
+    whole-batch while_loop.  Rays must arrive in coherent (screen-tile)
+    order for tight tiles; see render.tile_order.
+
+    bvh: accel.BvhFlat.  params_leaf_rows: (P, F) prim params already
+    permuted into leaf order (bvh.order applied).  vis_leaf: (P,) 0/1.
+    Returns (t, leaf_local) where leaf_local indexes the LEAF ORDER
+    (caller maps back through bvh.order).
+    """
+    import numpy as _np
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N = o.shape[0]
+    P, F = params_leaf_rows.shape
+    M = bvh.n_nodes
+    tker = _T_KERNELS[ptype]
+    from .accel import LEAF_MAX
+
+    T = pl.cdiv(N, RT)
+    pad = T * RT - N
+    rays8 = jnp.stack([o[:, 0], o[:, 1], o[:, 2],
+                       d[:, 0], d[:, 1], d[:, 2],
+                       seed_t, jnp.zeros_like(seed_t)])
+    if pad:
+        # padded rays get seed 0 -> never produce hits
+        fill = jnp.zeros((8, pad), rays8.dtype).at[3].set(1.0)
+        rays8 = jnp.concatenate([rays8, fill], axis=1)
+    rays_t = rays8.reshape(8, T, 8, 128)
+
+    # SMEM windows pad every row to 128 lanes, so all scalar tables go
+    # in FLAT 1D: a 2D (M, 6) table would cost M*512 bytes of the 1 MB
+    # SMEM budget instead of M*24.
+    nf = jnp.concatenate([jnp.asarray(bvh.bmin, jnp.float32),
+                          jnp.asarray(bvh.bmax, jnp.float32)],
+                         axis=1).reshape(-1)
+    ni = jnp.stack([jnp.asarray(bvh.skip, jnp.int32),
+                    jnp.asarray(bvh.leaf_start, jnp.int32),
+                    jnp.asarray(bvh.leaf_count, jnp.int32)],
+                   axis=1).reshape(-1)
+
+    cons_tables = []
+    cons_layout = []
+    for positive, members in constraints:
+        ml = []
+        for cptype, cmat, cminv in members:
+            ml.append((cptype, len(cons_tables), cminv is not None,
+                       int(cmat.shape[0])))
+            cons_tables.append(jnp.asarray(cmat, jnp.float32))
+            if cminv is not None:
+                cons_tables.append(jnp.asarray(cminv, jnp.float32))
+        cons_layout.append((positive, ml))
+
+    def kernel(rays_ref, nf_ref, ni_ref, pf_ref, vis_ref, *rest):
+        cons_refs = rest[:len(cons_tables)]
+        out_t = rest[len(cons_tables)]
+        out_l = rest[len(cons_tables) + 1]
+
+        def rc(c):
+            return rays_ref[c, 0]                    # (8, 128)
+
+        ox, oy, oz = rc(0), rc(1), rc(2)
+        dx, dy, dz = rc(3), rc(4), rc(5)
+        seed = rc(6)
+        ivx = 1.0 / jnp.where(dx == 0.0, 1e-20, dx)
+        ivy = 1.0 / jnp.where(dy == 0.0, 1e-20, dy)
+        ivz = 1.0 / jnp.where(dz == 0.0, 1e-20, dz)
+
+        def leaf_tests(args):
+            bt, bl, hit, ls, lc = args
+            for k in range(LEAF_MAX):
+                p = jnp.minimum(ls + k, P - 1)
+                valid = (k < lc) & (vis_ref[p] > 0.5)
+
+                def f(q, p=p):
+                    return pf_ref[p * F + q]
+
+                t0, t1 = tker(f, ox, oy, oz, dx, dy, dz)
+                v0 = valid & hit & (t0 > 0.0) & (t0 < bt)
+                v1 = valid & hit & (t1 > 0.0) & (t1 < bt)
+                if cons_layout:
+                    for which, (tv, vm) in enumerate(((t0, v0), (t1, v1))):
+                        px_ = ox + dx * tv
+                        py_ = oy + dy * tv
+                        pz_ = oz + dz * tv
+                        ok = _eval_constraints(cons_layout, cons_refs,
+                                               px_, py_, pz_, vm)
+                        if which == 0:
+                            v0 = v0 & ok
+                        else:
+                            v1 = v1 & ok
+                tc = jnp.where(v0, t0, jnp.where(v1, t1, INF))
+                better = tc < bt
+                bt = jnp.where(better, tc, bt)
+                bl = jnp.where(better, p, bl)
+            return bt, bl
+
+        def body(st):
+            node, bt, bl = st
+            nb = node * 6
+            t1x = (nf_ref[nb + 0] - ox) * ivx
+            t2x = (nf_ref[nb + 3] - ox) * ivx
+            t1y = (nf_ref[nb + 1] - oy) * ivy
+            t2y = (nf_ref[nb + 4] - oy) * ivy
+            t1z = (nf_ref[nb + 2] - oz) * ivz
+            t2z = (nf_ref[nb + 5] - oz) * ivz
+            near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                           jnp.minimum(t1y, t2y)),
+                               jnp.minimum(t1z, t2z))
+            far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                          jnp.maximum(t1y, t2y)),
+                              jnp.maximum(t1z, t2z))
+            hit = (near <= far) & (far > 0.0) & (near < bt)
+            anyhit = jnp.any(hit)
+            lc = ni_ref[node * 3 + 2]
+            ls = ni_ref[node * 3 + 1]
+            bt, bl = jax.lax.cond(
+                anyhit & (lc > 0),
+                leaf_tests,
+                lambda args: (args[0], args[1]),
+                (bt, bl, hit, ls, lc))
+            nxt = jnp.where(anyhit, node + 1, ni_ref[node * 3])
+            if shadow:
+                nxt = jnp.where(jnp.all(bt < seed), M, nxt)
+            return nxt, bt, bl
+
+        def cond(st):
+            return st[0] < M
+
+        bl0 = jnp.full((8, 128), -1, jnp.int32)
+        _, bt, bl = jax.lax.while_loop(cond, body,
+                                       (jnp.int32(0), seed, bl0))
+        out_t[0] = bt
+        out_l[0] = bl
+
+    in_specs = [
+        pl.BlockSpec((8, 1, 8, 128), lambda i: (0, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    inputs = [rays_t, nf, ni,
+              jnp.asarray(params_leaf_rows, jnp.float32).reshape(-1),
+              jnp.asarray(vis_leaf, jnp.float32)]
+    for tab in cons_tables:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(tab)
+
+    out_shape = (jax.ShapeDtypeStruct((T, 8, 128), o.dtype),
+                 jax.ShapeDtypeStruct((T, 8, 128), jnp.int32))
+    out_specs = (pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM))
+
+    bt, bl = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*inputs)
+    return bt.reshape(-1)[:N], bl.reshape(-1)[:N]

@@ -46,6 +46,20 @@ def camera(pos, at, up, angle_deg) -> Camera:
     return Camera(pos, fwd, up_ * cam_scale, right * cam_scale)
 
 
+def tile_order(xres, yres, bw=32, bh=32):
+    """Permutation putting rays in screen-tile-major order (bw x bh
+    pixel tiles).  Spatially compact ray tiles are what the Pallas
+    dense kernel's per-block culling and the packet BVH traversal need:
+    1024 consecutive rays form a 32x32 beam instead of 1.4 rows
+    spanning the image.  Pure reordering -- per-ray results are
+    identical; callers scatter outputs back through the permutation."""
+    ys, xs = np.mgrid[0:yres, 0:xres]
+    ntx = (xres + bw - 1) // bw
+    key = (((ys // bh) * ntx + (xs // bw)) * (bw * bh)
+           + (ys % bh) * bw + (xs % bw))
+    return np.argsort(key.reshape(-1), kind="stable")
+
+
 def pixel_coords(width, height, xf, yf):
     """Screen (pixel) -> camera plane coordinates (Glome.hs:133-140).
     Accepts float arrays for sub-pixel sampling."""
@@ -95,11 +109,13 @@ class Renderer:
     def render(self, arrays, subpixel_offset: float = 0.0):
         """Render a full frame at 1 ray/pixel; returns (H, W, 3) rgb in
         [0, 1] (premultiplied by alpha, like the reference blit,
-        Glome.hs:353-358) and the (H, W) depth map."""
+        Glome.hs:353-358) and the (H, W) depth map.  Rays are traced in
+        32x32-tile order (see tile_order) and scattered back."""
         cfg = self.config
         ys, xs = np.mgrid[0:cfg.yres, 0:cfg.xres]
-        xf = xs.reshape(-1).astype(np.float32) + subpixel_offset
-        yf = ys.reshape(-1).astype(np.float32) + subpixel_offset
+        perm = tile_order(cfg.xres, cfg.yres)
+        xf = xs.reshape(-1)[perm].astype(np.float32) + subpixel_offset
+        yf = ys.reshape(-1)[perm].astype(np.float32) + subpixel_offset
         o, d = self.rays_for_pixels(xf, yf)
         n = o.shape[0]
         chunk = self.ray_chunk or n
@@ -109,6 +125,8 @@ class Renderer:
                                            d[s:s + chunk])
             rgbs.append(rgb)
             depths.append(t)
-        rgb = jnp.concatenate(rgbs).reshape(cfg.yres, cfg.xres, 3)
-        t = jnp.concatenate(depths).reshape(cfg.yres, cfg.xres)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(perm.shape[0])
+        rgb = jnp.concatenate(rgbs)[inv].reshape(cfg.yres, cfg.xres, 3)
+        t = jnp.concatenate(depths)[inv].reshape(cfg.yres, cfg.xres)
         return jnp.clip(rgb, 0.0, 1.0), t

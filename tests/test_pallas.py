@@ -99,3 +99,35 @@ def test_pallas_mixed_types():
         if g.vclass == "deferred":
             continue
         _cmp_group(compiled, arrays, gi, o, d)
+
+
+def test_pallas_bvh_traversal_matches_brute():
+    # per-tile SMEM traversal kernel vs the dense scan oracle
+    from glome_tpu.accel import build_bvh, group_bounds
+    rng = np.random.RandomState(5)
+    items = [G.sphere(rng.uniform(-6, 6, 3), rng.uniform(0.2, 0.7))
+             for _ in range(300)]
+    compiled = G.compile_scene(G.group(items), ())
+    arrays = compiled.arrays()
+    sc = compiled.scenes[0]
+    garrs = arrays["scenes"][0]
+    gi = next(i for i, g in enumerate(sc.groups) if g.size == 300)
+    g = sc.groups[gi]
+    g.accel = build_bvh(*group_bounds(g))
+
+    o, d = _rays(1024, seed=11, span=8.0)
+    seed = jnp.full((1024,), INFINITY, jnp.float32)
+    ref_t, ref_l = I.brute_scan(sc, garrs, gi, o, d, seed, False)
+
+    order = np.asarray(g.accel.order)
+    params_lo = {k: garrs[gi][k][order] for k in garrs[gi]}
+    rows = PK.pack_params_rows(g.ptype, params_lo)
+    vis = jnp.ones((300,), jnp.float32)
+    bt, bl_leaf = PK.bvh_intersect(g.ptype, g.accel, rows, vis, [],
+                                   o, d, seed, interpret=True)
+    local = np.asarray(order)[np.maximum(np.asarray(bl_leaf), 0)]
+
+    hit = np.asarray(ref_t) < INFINITY
+    np.testing.assert_allclose(np.asarray(bt), np.asarray(ref_t),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(local[hit], np.asarray(ref_l)[hit])

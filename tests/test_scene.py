@@ -85,3 +85,37 @@ def test_group_flattening_and_void():
     s = G.group([G.group([]), G.sphere((0, 0, 0), 1)])
     from glome_tpu.solids import Sphere
     assert isinstance(s, Sphere)  # single-item group collapses
+
+
+def test_point_queries_inside_and_metainfo():
+    import glome_tpu as G
+    import numpy as np
+    import jax.numpy as jnp
+    from glome_tpu.materials import Surface, Uniform
+
+    red = Uniform(Surface(color=(1, 0, 0)))
+    s = G.group([
+        G.tex(G.tag(G.sphere((0, 0, 0), 1.0), "ball"), red),
+        G.difference(G.box((2, -1, -1), (4, 1, 1)),
+                     G.sphere((3, 0, 0), 0.9)),
+        G.intersection([G.sphere((-3, 0, 0), 1.0),
+                        G.sphere((-2.5, 0, 0), 1.0)]),
+    ])
+    compiled = G.compile_scene(s, ())
+    arrays = compiled.arrays()
+    pts = jnp.asarray([
+        [0.0, 0.0, 0.0],      # in tagged sphere
+        [3.0, 0.0, 0.0],      # in subtracted hollow -> NOT inside
+        [2.05, 0.0, 0.0],     # in box, outside the subtracted sphere
+        [-2.75, 0.0, 0.0],    # in the lens intersection
+        [-3.9, 0.0, 0.0],     # in first sphere only -> NOT inside
+        [9.0, 9.0, 9.0],      # nowhere
+    ])
+    ins = np.asarray(G.inside(compiled, arrays, pts))
+    np.testing.assert_array_equal(ins, [True, False, True, True,
+                                        False, False])
+    found, tex, tag = G.metainfo(compiled, arrays, pts)
+    found = np.asarray(found)
+    np.testing.assert_array_equal(found, ins)
+    tagname = compiled.tag_names[int(np.asarray(tag)[0, 0])]
+    assert tagname == "ball"

@@ -56,13 +56,10 @@ def main():
     garrs_dev = arrays["scenes"][0]
 
     def group_step(gi, o, d, kind):
-        g = sc.groups[gi]
-
         def step(p):
             oo = o + p * 1e-4
             seed = jnp.full((N,), INFINITY, jnp.float32)
             if kind == "bvh":
-                from glome_tpu.accel import build_bvh, group_bounds
                 bt, bl = I.bvh_pass(sc, garrs_dev, gi, oo, d, seed, False)
             else:
                 bt, bl = I.dense_pass(sc, garrs_dev, gi, oo, d, seed, False)
@@ -73,13 +70,25 @@ def main():
                    if g.size >= 256 and g.vclass in ("plain", "inline")]
     for gi in interesting:
         g = sc.groups[gi]
-        if only and only != "groups":
+        if only and only not in ("groups",):
             break
         for rays, tag in ((o_r, "rowmaj"), (o_s, "swizzl")):
             d_ = d_r if tag == "rowmaj" else d_s
             device_time(group_step(gi, rays, d_, "dense"),
                         verbose=f"g{gi} {g.ptype} size={g.size} "
                                 f"dense {tag}")
+        if g.accel is None:
+            from glome_tpu.accel import build_bvh, group_bounds
+            g.accel = build_bvh(*group_bounds(g))
+            try:
+                device_time(group_step(gi, o_s, d_s, "bvh"),
+                            verbose=f"g{gi} {g.ptype} size={g.size} "
+                                    f"bvh swizzl")
+            finally:
+                g.accel = None
+        else:
+            device_time(group_step(gi, o_s, d_s, "bvh"),
+                        verbose=f"g{gi} {g.ptype} size={g.size} bvh swizzl")
 
     if only in (None, "full"):
         def full_step_factory(o, d):
