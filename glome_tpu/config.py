@@ -10,7 +10,7 @@ static metadata.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 # Sentinel "infinity" used for miss distances (reference: Vec.hs:14).
 INFINITY = 1.0e6
@@ -55,6 +55,20 @@ class RenderConfig:
     # Queue capacity factors for compacted secondary-ray passes, as a
     # fraction of the primary ray count per depth level.
     secondary_capacity: float = 1.0
+    # Per-level wavefront queue capacities, each a fraction of the
+    # CURRENT level's queue size (entries past the end clamp to the
+    # last).  Child-ray occupancy decays geometrically with depth
+    # (secondary rays of secondary rays are rare), so scheduled
+    # capacities shrink every level's intersect/shadow batch to the
+    # rays that actually exist instead of paying full-queue passes at
+    # every depth.  None = derive from secondary_capacity (reflect =
+    # s, refract/warp = s/2, shadow exact), the conservative default.
+    reflect_capacity: Optional[Tuple[float, ...]] = None
+    refract_capacity: Optional[Tuple[float, ...]] = None
+    warp_capacity: Optional[Tuple[float, ...]] = None
+    # Shadow-ray batch capacity per light, fraction of the level queue.
+    # None = exact (one slot per queue ray per light).
+    shadow_capacity: Optional[Tuple[float, ...]] = None
 
 
 DEFAULT_CONFIG = RenderConfig()
