@@ -37,6 +37,16 @@ from .xfm import apply_point, apply_vector, apply_normal_T
 PRIM_CHUNK = 4096
 
 
+def _mega_enabled():
+    """The single-launch Pallas megakernel path (megakernel.py) serves
+    all intersection on TPU; the jnp pass-per-group pipeline below is
+    the CPU / oracle path (and the megakernel's parity reference)."""
+    import os
+    import jax
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("GLOME_DISABLE_MEGA", "0") != "1")
+
+
 class Hit(NamedTuple):
     """Per-ray nearest-hit record (the reference Rayint, Solid.hs:20-28)."""
     t: jnp.ndarray          # (N,) world distance; INFINITY = miss
@@ -834,10 +844,12 @@ def _deferred_eligible(sc, garrs, gi, o, d, seed,
     return elig
 
 
-# fraction of the ray batch that may produce deferred-CSG candidates
-# after earlier passes have tightened best-t; candidates beyond the cap
-# are dropped (generous: measured TestScene occupancy is a few percent)
-DEFERRED_CAP_FRAC = 0.25
+# fraction of the ray batch that may produce deferred-CSG candidates.
+# 1.0 = exact (no compaction): this jnp pipeline is now the CPU oracle
+# path -- the TPU perf path is the megakernel, which has no cap -- and
+# the old 0.25 cap silently dropped valid hits on TestScene (its
+# subtracted lattice sphere marks every primary ray eligible).
+DEFERRED_CAP_FRAC = 1.0
 
 
 def intersect(compiled: CompiledScene, arrays, scene_id: int,
@@ -855,6 +867,12 @@ def intersect(compiled: CompiledScene, arrays, scene_id: int,
     whole clause member sets, so they run only on the few rays whose
     candidates could still win.
     """
+    if _mega_enabled():
+        from . import megakernel as MK
+        return MK.mega_intersect(compiled, arrays, o, d, sid=None,
+                                 tmax=tmax, shadow=shadow,
+                                 scene_id=scene_id)
+
     sc = compiled.scenes[scene_id]
     garrs = arrays["scenes"][scene_id]
     N = o.shape[0]
@@ -1028,6 +1046,10 @@ def _clause_local_stacks(sc: PackedScene, clause):
 def shadow_query(compiled, arrays, scene_id, o, d, tmax,
                  prim_chunk: int = PRIM_CHUNK):
     """True where something valid blocks the segment (0, tmax)."""
+    if _mega_enabled():
+        from . import megakernel as MK
+        return MK.mega_shadow(compiled, arrays, o, d, sid=None, tmax=tmax,
+                              scene_id=scene_id)
     h = intersect(compiled, arrays, scene_id, o, d, tmax=tmax, shadow=True,
                   prim_chunk=prim_chunk)
     return h.hit
@@ -1039,6 +1061,11 @@ def intersect_multi(compiled, arrays, o, d, sid, tmax=None,
     (-1 = no scene; always a miss).  Implemented by running each packed
     scene with tmax zeroed for out-of-scene rays -- every candidate then
     fails t > 0, so no kernel changes are needed -- and merging."""
+    if _mega_enabled():
+        from . import megakernel as MK
+        return MK.mega_intersect(compiled, arrays, o, d, sid=sid,
+                                 tmax=tmax, shadow=shadow)
+
     N = o.shape[0]
     if tmax is None:
         tmax = jnp.full((N,), INFINITY, dtype=o.dtype)
@@ -1065,5 +1092,8 @@ def intersect_multi(compiled, arrays, o, d, sid, tmax=None,
 
 
 def shadow_query_multi(compiled, arrays, o, d, sid, tmax):
+    if _mega_enabled():
+        from . import megakernel as MK
+        return MK.mega_shadow(compiled, arrays, o, d, sid=sid, tmax=tmax)
     h = intersect_multi(compiled, arrays, o, d, sid, tmax=tmax, shadow=True)
     return h.hit
