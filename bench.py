@@ -52,7 +52,9 @@ def main():
     solid, lights, cam = test_scene()
     compiled = G.compile_scene(solid, lights)
     arrays = jax.device_put(compiled.arrays())
-    cfg = RenderConfig(xres=720, yres=480, secondary_capacity=0.5)
+    # same config the golden image is verified at (app default: the
+    # tuned queue schedule, zero-overflow-checked on this scene)
+    cfg = RenderConfig.tuned(xres=720, yres=480)
     try:
         tracer = G.WavefrontTracer(compiled, cfg)
     except NotImplementedError:

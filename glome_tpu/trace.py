@@ -40,6 +40,11 @@ class TraceResult(NamedTuple):
     t: jnp.ndarray          # (N,) hit depth (INFINITY = miss)
     tag_stack: jnp.ndarray  # (N, TAG_DEPTH)
     prim_serial: jnp.ndarray
+    # (K,) int32 rays dropped by each capped queue segment (labels in
+    # tracer.overflow_labels); None when the tracer has no capped
+    # compactions.  Nonzero means the render under-traced: callers
+    # should widen the corresponding RenderConfig capacity.
+    overflow: Optional[jnp.ndarray] = None
 
 
 # --- compaction helpers ---------------------------------------------------
@@ -108,6 +113,17 @@ class Tracer:
                       if wi in compiled.tex_warps[tid]], dtype=np.int32)
             for wi in range(len(compiled.warp_mats))]
         self.reflect_texids = np.where(self.tex_needs_reflect)[0].astype(np.int32)
+        # static (layer, texture) occupancy: which texture ids can occur
+        # on stack layer L of any hit (incl. post-retexture local
+        # stacks).  The shading fold only evaluates/selects those.
+        occ = [set() for _ in range(TEX_DEPTH)]
+        for sc in compiled.scenes:
+            for g in sc.groups:
+                for stacks in (g.tex_stack, g.local_tex_stack):
+                    for L in range(TEX_DEPTH):
+                        occ[L].update(int(t) for t in
+                                      np.unique(stacks[:, L]) if t >= 0)
+        self.tex_layer_occ = [sorted(s) for s in occ]
 
     # -- static helpers ----------------------------------------------------
 
@@ -197,21 +213,32 @@ class Tracer:
         # ---- layered texture fold (Trace.hs:67-82) -----------------------
         ctx = dict(hit=hit, d=d, eyedir=eyedir, lights=light_contribs,
                    children=children, recurs=recurs)
-        acc = C.ca_transparent((N,), o.dtype)
+        acc = self._fold_textures(ctx, hit, (N,), o.dtype)
+        return TraceResult(acc, hit.t, hit.tag_stack, hit.prim_serial)
+
+    def _fold_textures(self, ctx, hit, shape, dtype):
+        """cafold alpha layering over the hit texture stacks
+        (Trace.hs:67-82): each REACHABLE texture is evaluated once,
+        then every occupied layer selects from those shared results."""
+        tex_cols = {}
+        for tid in sorted(set().union(*map(set, self.tex_layer_occ))):
+            tex_cols[tid] = self._eval_texture(
+                self.compiled.textures[tid], ctx)
+        acc = C.ca_transparent(shape, dtype)
         for layer in range(TEX_DEPTH):
+            tids_here = self.tex_layer_occ[layer]
+            if not tids_here:
+                continue
             tids = hit.tex_stack[:, layer]
-            layer_color = C.ca_transparent((N,), o.dtype)
-            for tid, tex in enumerate(self.compiled.textures):
-                mask = tids == tid
-                # static skip: texture never on this layer anywhere?
-                col = self._eval_texture(tex, ctx)
-                layer_color = jnp.where(mask[:, None], col, layer_color)
+            layer_color = C.ca_transparent(shape, dtype)
+            for tid in tids_here:
+                layer_color = jnp.where((tids == tid)[:, None],
+                                        tex_cols[tid], layer_color)
             has = (tids >= 0) & hit.hit
             opaque = acc[..., 3] + DELTA >= 1.0
             folded = C.cafold(acc, layer_color)
             acc = jnp.where((has & ~opaque)[:, None], folded, acc)
-
-        return TraceResult(acc, hit.t, hit.tag_stack, hit.prim_serial)
+        return acc
 
     # -- secondary rays ----------------------------------------------------
 

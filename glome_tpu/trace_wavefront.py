@@ -106,13 +106,24 @@ class WavefrontTracer(Tracer):
             off += c
         return segs, max(off, 128)
 
+    def _count_overflow(self, overflow, label, mask, cap):
+        """Record rays dropped by one capped compaction (ADVICE r1:
+        capacity undersizing must be detectable, not silent)."""
+        if cap >= mask.shape[0]:
+            return  # structurally lossless
+        n = jnp.sum(mask.astype(jnp.int32))
+        overflow.append(jnp.maximum(n - cap, 0))
+        if label not in self.overflow_labels:
+            self.overflow_labels.append(label)
+
     # -- one DOWN level ------------------------------------------------------
 
     def _down_level(self, arrays, carry, segs, Qn, level, lights,
-                    lpos, lcol, lrad):
+                    lpos, lcol, lrad, overflow):
         """Intersect + preshade one level's queue; spawn children into a
         fresh (Qn,)-ray queue laid out by `segs`.  Returns (child carry,
-        stored shading inputs)."""
+        stored shading inputs).  Every capped compaction appends its
+        dropped-ray count to `overflow` (labels in overflow_labels)."""
         co, cd, csid, ctmax = carry
         Qc = co.shape[0]
         dt = co.dtype
@@ -133,6 +144,8 @@ class WavefrontTracer(Tracer):
             active = hit.hit & facing & (llen <= lrad[li])
             light_pre.append([llen, ldir, active])
             if l.shadow:
+                self._count_overflow(overflow, f"L{level}/shadow{li}",
+                                     active, sh_cap)
                 idx = compact_indices(active, sh_cap)
                 sh_o = vscaleadd(hit.pos, hit.norm, DELTA)
                 sh_segments.append((li, idx, gather(sh_o, idx),
@@ -211,6 +224,7 @@ class WavefrontTracer(Tracer):
                 ro = jnp.einsum('ij,nj->ni', fwd[:, :3], hit.pos) + fwd[:, 3]
                 rd = vnorm(jnp.einsum('ij,nj->ni', fwd[:, :3], vnorm(cd)))
                 rsid = jnp.full((Qc,), w.target_scene, jnp.int32)
+            self._count_overflow(overflow, f"L{level}/{key}", mask, capq)
             idx = compact_indices(mask, capq)
             stored_idx[key] = idx
             valid = idx < Qc
@@ -273,18 +287,7 @@ class WavefrontTracer(Tracer):
         ctx = dict(hit=hit, d=stored["d"], eyedir=-stored["d"],
                    lights=light_contribs, children=children,
                    recurs=2)  # children present; eval uses them
-        acc = C.ca_transparent((Qc,), dt)
-        for layer in range(TEX_DEPTH):
-            tids = hit.tex_stack[:, layer]
-            layer_color = C.ca_transparent((Qc,), dt)
-            for tid, tex in enumerate(self.compiled.textures):
-                mask = tids == tid
-                col = self._eval_texture(tex, ctx)
-                layer_color = jnp.where(mask[:, None], col, layer_color)
-            has = (tids >= 0) & hit.hit
-            opaque = acc[..., 3] + DELTA >= 1.0
-            folded = C.cafold(acc, layer_color)
-            acc = jnp.where((has & ~opaque)[:, None], folded, acc)
+        acc = self._fold_textures(ctx, hit, (Qc,), dt)
         return acc, stored["t"]
 
     # -- the full trace ----------------------------------------------------
@@ -308,11 +311,13 @@ class WavefrontTracer(Tracer):
                  else jnp.full((N,), INFINITY, dtype=dt))
         stored_levels = []
         seg_plans = []
+        overflow = []
+        self.overflow_labels = []
         for level in range(R):
             segs, Qn = self._plan(carry[0].shape[0], level)
             carry, stored = self._down_level(arrays, carry, segs, Qn,
                                              level, lights,
-                                             lpos, lcol, lrad)
+                                             lpos, lcol, lrad, overflow)
             stored_levels.append(stored)
             seg_plans.append(segs)
 
@@ -326,5 +331,6 @@ class WavefrontTracer(Tracer):
                                       seg_plans[level], color, t, lights)
 
         s0 = stored_levels[0]
+        ov = jnp.stack(overflow) if overflow else None
         return TraceResult(color[:N], s0["t"][:N], s0["tag"][:N],
-                           s0["serial"][:N])
+                           s0["serial"][:N], ov)
