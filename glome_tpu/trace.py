@@ -175,6 +175,7 @@ class Tracer:
         light_pre = []
         sh_segments = []
         cap = self._cap(N)
+        sh_o = vscaleadd(hit.pos, hit.norm, DELTA)
         for li, l in enumerate(lights):
             lvec = lpos[li] - hit.pos
             llen = jnp.sqrt(vdot(lvec, lvec))
@@ -183,9 +184,16 @@ class Tracer:
             in_range = llen <= lrad[li]
             active = hit.hit & facing & in_range
             light_pre.append((llen, ldir, active))
-            if l.shadow:
+            if not l.shadow:
+                continue
+            if cap >= N:
+                # masked full width: inactive rays carry tmax 0 and are
+                # culled in-kernel for free; no compaction round trip
+                sh_segments.append((li, None, sh_o, ldir,
+                                    jnp.where(active,
+                                              llen - 2.0 * DELTA, 0.0)))
+            else:
                 idx = compact_indices(active, cap)
-                sh_o = vscaleadd(hit.pos, hit.norm, DELTA)
                 sh_segments.append((li, idx,
                                     gather(sh_o, idx), gather(ldir, idx),
                                     gather(llen - 2.0 * DELTA, idx)))
@@ -197,10 +205,12 @@ class Tracer:
             sb = shadow_query(self.compiled, arrays, scene_id, so, sd, st)
             off = 0
             for li, idx, *_ in sh_segments:
-                seg = sb[off:off + cap]
-                off += cap
-                blocked_by_light[li] = scatter(
-                    jnp.zeros((N,), dtype=bool), idx, seg)
+                n_seg = N if idx is None else cap
+                seg = sb[off:off + n_seg]
+                off += n_seg
+                blocked_by_light[li] = (
+                    seg if idx is None
+                    else scatter(jnp.zeros((N,), dtype=bool), idx, seg))
         light_contribs = []
         for li, l in enumerate(lights):
             llen, ldir, active = light_pre[li]

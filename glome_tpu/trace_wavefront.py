@@ -130,12 +130,17 @@ class WavefrontTracer(Tracer):
         cc = self.compiled
         hit = intersect_multi(cc, arrays, co, cd, csid, tmax=ctmax)
 
-        # fused per-light shadow batch (preshade, Shader.hs:65-80),
-        # compacted to the scheduled per-light capacity
+        # fused per-light shadow batch (preshade, Shader.hs:65-80).
+        # Default: masked full width -- every queue ray gets a slot per
+        # light, inactive rays carry tmax 0 so the megakernel culls
+        # them for free; no compaction, no scatters, structurally
+        # lossless.  A shadow_capacity < 1 switches to the compacted
+        # path (with overflow accounting).
         sh_f = _lvl(self.config.shadow_capacity, level, 1.0)
         sh_cap = max(128, min(int(math.ceil(Qc * sh_f)), Qc))
         light_pre = []
         sh_segments = []
+        sh_o = vscaleadd(hit.pos, hit.norm, DELTA)
         for li, l in enumerate(lights):
             lvec = lpos[li] - hit.pos
             llen = jnp.sqrt(vdot(lvec, lvec))
@@ -143,11 +148,16 @@ class WavefrontTracer(Tracer):
             facing = vdot(lvec, hit.norm) >= 0.0
             active = hit.hit & facing & (llen <= lrad[li])
             light_pre.append([llen, ldir, active])
-            if l.shadow:
+            if not l.shadow:
+                continue
+            if sh_cap >= Qc:
+                sh_segments.append((li, None, sh_o, ldir,
+                                    jnp.where(active, llen - 2.0 * DELTA,
+                                              0.0), csid))
+            else:
                 self._count_overflow(overflow, f"L{level}/shadow{li}",
                                      active, sh_cap)
                 idx = compact_indices(active, sh_cap)
-                sh_o = vscaleadd(hit.pos, hit.norm, DELTA)
                 sh_segments.append((li, idx, gather(sh_o, idx),
                                     gather(ldir, idx),
                                     gather(llen - 2.0 * DELTA, idx),
@@ -163,10 +173,12 @@ class WavefrontTracer(Tracer):
             sb = shadow_query_multi(cc, arrays, so, sd, ss,
                                     jnp.where(ss >= 0, st, 0.0))
             offb = 0
-            for li, idx, *_ in sh_segments:
-                seg = sb[offb:offb + sh_cap]
-                offb += sh_cap
-                blocked = scatter(jnp.zeros((Qc,), bool), idx, seg)
+            for li, idx, _o, _d, _t, _s in sh_segments:
+                n_seg = Qc if idx is None else sh_cap
+                seg = sb[offb:offb + n_seg]
+                offb += n_seg
+                blocked = (seg if idx is None
+                           else scatter(jnp.zeros((Qc,), bool), idx, seg))
                 light_pre[li][2] = light_pre[li][2] & ~blocked
         contrib = jnp.stack(
             [jnp.where(a[:, None],
