@@ -46,6 +46,7 @@ def main(argv=None):
     from glome_tpu.io import write_png
 
     t0 = time.time()
+    background = None
     if args.scene == "test":
         from glome_tpu.scenes import test_scene
         solid, lights, cam = test_scene(lattice_n=args.lattice_n)
@@ -60,6 +61,7 @@ def main(argv=None):
         cam = s.cam or camera((0, 0, -5), (0, 0, 0), (0, 1, 0), 45)
         if s.resolution:
             args.xres, args.yres = s.resolution
+        background = s.background  # NFF `b` feeds missshade (Spd.hs:118-122)
 
     print(f"(primitives,transforms,bounding objects): {G.primcount(solid)}")
     compiled = G.compile_scene(solid, lights)
@@ -67,7 +69,7 @@ def main(argv=None):
     # the tuned queue schedule is verified zero-overflow on TestScene;
     # for any scene, nonzero overflow is detected and reported below
     cfg = RenderConfig.tuned(xres=args.xres, yres=args.yres,
-                             maxdepth=args.depth)
+                             maxdepth=args.depth, background=background)
     try:
         # O(N)-queue scan-over-depth tracer (compiles smaller and peaks
         # far lower than the unrolled recursive tracer)

@@ -69,6 +69,11 @@ class RenderConfig:
     # Shadow-ray batch capacity per light, fraction of the level queue.
     # None = exact (one slot per queue ray per light).
     shadow_capacity: Optional[Tuple[float, ...]] = None
+    # Miss-shader color (the reference Shader.missshade, Trace.hs:15-19):
+    # rays that hit nothing return this opaque color instead of the
+    # transparent miss.  None = transparent (mmissshade, Shader.hs:187).
+    # NFF scenes plumb their `b` background here (Spd.hs:118-122).
+    background: Optional[Tuple[float, float, float]] = None
 
     @classmethod
     def tuned(cls, **kw):

@@ -133,13 +133,24 @@ def t_uniform(m: Material) -> Texture:
 
 @dataclasses.dataclass(frozen=True)
 class Light:
-    """Point light with inverse-square falloff (reference Shader.hs:13-23).
-    The falloff closure is fixed to 1/d^2 as in the `light` constructor."""
+    """Point light (reference Shader.hs:13-23).  `falloff` is an
+    arbitrary distance -> intensity-scale function like the reference's
+    litfalloff closure; None means the default 1/d^2 of the `light`
+    constructor (Shader.hs:23).  It must be jax-traceable over (N,)
+    distance arrays."""
     pos: Tuple[float, float, float]
     color: Tuple[float, float, float]
     radius: float = INFINITY
     shadow: bool = True
+    falloff: object = None  # Optional[Callable[[dist], scale]]
+
+    def falloff_at(self, llen):
+        import jax.numpy as jnp
+        if self.falloff is not None:
+            return self.falloff(llen)
+        return 1.0 / jnp.maximum(llen * llen, 1e-20)
 
 
-def light(pos, color) -> Light:
-    return Light(tuple(float(c) for c in pos), tuple(float(c) for c in color))
+def light(pos, color, falloff=None) -> Light:
+    return Light(tuple(float(c) for c in pos),
+                 tuple(float(c) for c in color), falloff=falloff)

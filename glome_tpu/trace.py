@@ -216,7 +216,7 @@ class Tracer:
             llen, ldir, active = light_pre[li]
             if l.shadow and li in blocked_by_light:
                 active = active & ~blocked_by_light[li]
-            falloff = 1.0 / jnp.maximum(llen * llen, 1e-20)
+            falloff = l.falloff_at(llen)
             contrib = jnp.where(active[:, None], lcol[li] * falloff[:, None], 0.0)
             light_contribs.append((contrib, ldir, active))
 
@@ -248,6 +248,13 @@ class Tracer:
             opaque = acc[..., 3] + DELTA >= 1.0
             folded = C.cafold(acc, layer_color)
             acc = jnp.where((has & ~opaque)[:, None], folded, acc)
+        if self.config.background is not None:
+            # missshade (Trace.hs:44): rays that hit nothing take the
+            # shader's miss color; applies at every bounce level (but
+            # NOT at the recursion floor, which is traceMiss)
+            bg = jnp.asarray(tuple(self.config.background) + (1.0,),
+                             dtype=dtype)
+            acc = jnp.where(hit.hit[:, None], acc, bg)
         return acc
 
     # -- secondary rays ----------------------------------------------------

@@ -180,13 +180,18 @@ class WavefrontTracer(Tracer):
                 blocked = (seg if idx is None
                            else scatter(jnp.zeros((Qc,), bool), idx, seg))
                 light_pre[li][2] = light_pre[li][2] & ~blocked
-        contrib = jnp.stack(
-            [jnp.where(a[:, None],
-                       lcol[li] * (1.0 / jnp.maximum(ll * ll, 1e-20))[:, None],
-                       0.0)
-             for li, (ll, ld, a) in enumerate(light_pre)])
-        ldirs = jnp.stack([ld for ll, ld, a in light_pre])
-        lactive = jnp.stack([a for ll, ld, a in light_pre])
+        if light_pre:
+            contrib = jnp.stack(
+                [jnp.where(a[:, None],
+                           lcol[li] * lights[li].falloff_at(ll)[:, None],
+                           0.0)
+                 for li, (ll, ld, a) in enumerate(light_pre)])
+            ldirs = jnp.stack([ld for ll, ld, a in light_pre])
+            lactive = jnp.stack([a for ll, ld, a in light_pre])
+        else:
+            contrib = jnp.zeros((0, Qc, 3), dt)
+            ldirs = jnp.zeros((0, Qc, 3), dt)
+            lactive = jnp.zeros((0, Qc), bool)
 
         # ---- spawn children into the fixed queue segments -----------
         no = jnp.zeros((Qn, 3), dt)

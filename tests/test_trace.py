@@ -139,3 +139,75 @@ def test_pixel_gradients_match_finite_differences():
 
     fd = (at(eps) - at(-eps)) / (2 * eps)
     np.testing.assert_allclose(gc[0], fd, rtol=0.05, atol=1e-3)
+
+
+def test_background_miss_shader():
+    # missshade parity (Trace.hs:64, Shader.hs:186-189): rays that miss
+    # take the configured background as an OPAQUE color; None stays the
+    # transparent miss (mmissshade).
+    m = Surface(color=(1, 0, 0), alpha=1, ambient=1.0, kd=0.0)
+    scene = G.tex(G.sphere((0, 0, 0), 0.5), G.t_uniform(m))
+    compiled = G.compile_scene(scene, ())
+    arrays = compiled.arrays()
+    o, d = _rays([((0, 0, -3), (0, 0, 1)),    # hits the sphere
+                  ((0, 5, -3), (0, 0, 1))])   # misses
+    bgcfg = RenderConfig(maxdepth=2, background=(0.1, 0.2, 0.3))
+    for cls in (Tracer, G.WavefrontTracer):
+        res = jax.jit(lambda a: cls(compiled, bgcfg).trace(a, o, d))(arrays)
+        c = np.asarray(res.color)
+        np.testing.assert_allclose(c[1], [0.1, 0.2, 0.3, 1.0], atol=1e-6)
+        np.testing.assert_allclose(c[0, :3], [1, 0, 0], atol=1e-5)
+        # default config: transparent miss
+        res0 = jax.jit(lambda a: cls(compiled,
+                                     RenderConfig(maxdepth=2)).trace(
+                                         a, o, d))(arrays)
+        np.testing.assert_allclose(np.asarray(res0.color)[1], 0.0, atol=0)
+
+
+def test_background_seen_in_mirror():
+    # a secondary (reflected) ray that misses must also take the
+    # background -- missshade applies at every trace level (Trace.hs:64)
+    scene = G.tex(G.plane((0, 0, 0), (0, 1, 0)), G.t_uniform(Reflect(1.0)))
+    compiled = G.compile_scene(scene, ())
+    arrays = compiled.arrays()
+    o, d = _rays([((0, 1, 0), (0, -1, 0))])
+    bgcfg = RenderConfig(maxdepth=3, background=(0.0, 0.5, 0.0))
+    for cls in (Tracer, G.WavefrontTracer):
+        res = jax.jit(lambda a: cls(compiled, bgcfg).trace(a, o, d))(arrays)
+        c = np.asarray(res.color)[0]
+        np.testing.assert_allclose(c, [0.0, 0.5, 0.0, 1.0], atol=1e-5)
+
+
+def test_light_custom_falloff():
+    # Light.falloff is an arbitrary distance->scale closure like the
+    # reference's litfalloff (Shader.hs:13-23); constant falloff here.
+    m = Surface(color=(1, 1, 1), alpha=1, ambient=0.0, kd=1.0)
+    scene = G.tex(G.plane((0, 0, 0), (0, 1, 0)), G.t_uniform(m))
+    lights = (light((0, 5, 0), (0.6, 0.6, 0.6),
+                    falloff=lambda d: jnp.ones_like(d)),)
+    compiled = G.compile_scene(scene, lights)
+    fn, _ = _trace_fn(compiled, maxdepth=2)
+    o, d = _rays([((0, 3, 0), (0, -1, 0))])
+    res = fn(compiled.arrays(), o, d)
+    # cos = 1, falloff = 1 -> direct = 0.6 exactly (no 1/d^2)
+    np.testing.assert_allclose(np.asarray(res.color)[0, :3], [0.6] * 3,
+                               rtol=1e-5)
+
+
+def test_reflect_depth_exhaustion_is_transparent():
+    # Pin reference semantics (VERDICT r1 weak #7): mpostshade's
+    # `Reflect refl -> if (refl > 0) && (recurs > 0) ... else ca_black`
+    # (Shader.hs:107-118) runs with recurs >= 1 always (trace returns
+    # traceMiss BEFORE shading at recurs 0, Trace.hs:60), so the child
+    # trace at the floor is the transparent miss and the shaded Reflect
+    # color is ColorA r g b (a*refl) = transparent -- NOT black.  The
+    # ca_black arm is only reachable via refl <= 0.
+    scene = G.tex(G.plane((0, 0, 0), (0, 1, 0)), G.t_uniform(Reflect(1.0)))
+    compiled = G.compile_scene(scene, ())
+    arrays = compiled.arrays()
+    o, d = _rays([((0, 1, 0), (0, -1, 0))])
+    for cls in (Tracer, G.WavefrontTracer):
+        res = jax.jit(lambda a: cls(compiled,
+                                    RenderConfig(maxdepth=1)).trace(
+                                        a, o, d))(arrays)
+        np.testing.assert_allclose(np.asarray(res.color)[0], 0.0, atol=0)
