@@ -89,6 +89,14 @@ class PrimGroup:
     # acceleration structure (accel.BvhFlat), attached after packing for
     # bounded non-deferred groups
     accel: Optional[object] = None
+    # shared-vertex mesh source (reference Mesh.hs:27-42): when set, the
+    # device pytree carries {verts[, norms]} and the per-prim p1..p3
+    # (n1..n3) params are DIFFERENTIABLE vertex gathers materialized by
+    # group_device_params -- gradients w.r.t. a vertex accumulate over
+    # every triangle sharing it.  `params` stays the host-side
+    # materialized copy (bounds / accel builds).  Keys: verts (V,3) f64,
+    # tri (T,3) i32 [, norms (Vn,3), tri_n (T,3)].
+    mesh_src: Optional[Dict[str, np.ndarray]] = None
 
     @property
     def size(self):
@@ -149,6 +157,16 @@ class CompiledScene:
         for sc in self.scenes:
             groups = []
             for g in sc.groups:
+                if g.mesh_src is not None:
+                    # shared-vertex SoA: the per-tri params are gathered
+                    # differentiably at trace time (group_device_params)
+                    ga = {"verts": np.asarray(g.mesh_src["verts"],
+                                              dtype=dtype)}
+                    if "norms" in g.mesh_src:
+                        ga["norms"] = np.asarray(g.mesh_src["norms"],
+                                                 dtype=dtype)
+                    groups.append(ga)
+                    continue
                 ga = {k: np.asarray(v, dtype=dtype) for k, v in g.params.items()}
                 if g.m_inv is not None:
                     ga["m_inv"] = np.asarray(g.m_inv, dtype=dtype)
@@ -161,6 +179,142 @@ class CompiledScene:
             "radius": np.asarray([l.radius for l in self.lights], dtype=dtype).reshape(-1),
         }
         return {"scenes": out, "lights": lights}
+
+
+def _morton_order(centers: np.ndarray) -> np.ndarray:
+    """argsort along a Morton (Z-order) curve of 3D points."""
+    lo = centers.min(0)
+    span = np.maximum(centers.max(0) - lo, 1e-12)
+    q = np.clip(((centers - lo) / span * 1023.0), 0, 1023).astype(np.uint64)
+
+    def spread(x):
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    code = (spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1))
+            | (spread(q[:, 2]) << np.uint64(2)))
+    return np.argsort(code, kind="stable")
+
+
+def group_device_params(g: PrimGroup, ga):
+    """Per-prim device param dict for a group: identity for plain
+    groups; for shared-vertex mesh groups, DIFFERENTIABLE gathers of
+    p1..p3 (n1..n3) from the verts/norms tables (the in-kernel analog of
+    the reference reading Tri index records, Mesh.hs:136-153)."""
+    if g.mesh_src is None:
+        return ga
+    import jax.numpy as jnp
+    tri = g.mesh_src["tri"]
+    verts = jnp.asarray(ga["verts"])
+    out = {"p1": verts[tri[:, 0]], "p2": verts[tri[:, 1]],
+           "p3": verts[tri[:, 2]]}
+    if g.ptype == "trianglenorm":
+        trin = g.mesh_src["tri_n"]
+        norms = jnp.asarray(ga["norms"])
+        out.update(n1=norms[trin[:, 0]], n2=norms[trin[:, 1]],
+                   n3=norms[trin[:, 2]])
+    return out
+
+
+def materialize_scene_params(sc: PackedScene, garrs):
+    """Apply group_device_params across a packed scene's device arrays
+    (no-op unless the scene has mesh groups)."""
+    if not any(g.mesh_src is not None for g in sc.groups):
+        return garrs
+    return [group_device_params(g, ga) for g, ga in zip(sc.groups, garrs)]
+
+
+# --- nested-CSG normalization ----------------------------------------------
+#
+# Reference CSG members are arbitrary SolidItems, including other CSG
+# nodes (Csg.hs:14-15): rayint_difference / rayint_intersection compose
+# recursively through the polymorphic rayint.  The flat engine instead
+# evaluates ONE conjunction of clauses per CSG object, each clause
+# IN(prim set) or NOT-IN(prim set).  flatten_csg normalizes a nested
+# tree into that form when the boolean expansion stays conjunctive:
+#
+#   difference(A, B)        -> clauses(A) + negate(clauses(B))
+#   intersection([T1..Tn])  -> clauses(T1) + ... + clauses(Tn)
+#   wrapper(T) (Tex/Tag/Instance/shadow/Bound around a CSG)
+#                           -> wrapper pushed onto every clause item
+#   negated union           -> NOT-IN(a|b) == NOT-IN(a) & NOT-IN(b)
+#
+# Covered: difference-of-intersections, intersections containing
+# differences, arbitrarily nested intersections, unions (groups) as
+# clause members.  NOT expressible conjunctively (raises): a difference
+# or intersection inside the *subtracted* side of a difference
+# (NOT-IN(a & !b) = mixed-polarity disjunction), and a union with a CSG
+# member inside another CSG (IN(a | (b & c))).
+
+def _contains_csg(node) -> bool:
+    if isinstance(node, (S.Difference, S.Intersection)):
+        return True
+    if isinstance(node, (S.Group, S.BihMarker)):
+        return any(_contains_csg(it) for it in node.items)
+    if isinstance(node, (S.Instance, S.Tex, S.Tag, S.NoShadow,
+                         S.OnlyShadow, S.Bound)):
+        return _contains_csg(node.item)
+    return False
+
+
+def _rewrap(wrapper: S.Solid, item: S.Solid) -> S.Solid:
+    """Clone a single-child wrapper node around a new child."""
+    if isinstance(wrapper, S.Instance):
+        return S.Instance(item, wrapper.xfm)
+    if isinstance(wrapper, S.Tex):
+        return S.Tex(item, wrapper.texture)
+    if isinstance(wrapper, S.Tag):
+        return S.Tag(item, wrapper.tag)
+    if isinstance(wrapper, S.NoShadow):
+        return S.NoShadow(item)
+    if isinstance(wrapper, S.OnlyShadow):
+        return S.OnlyShadow(item)
+    if isinstance(wrapper, S.Bound):
+        return S.Bound(wrapper.bound, item)
+    raise TypeError(type(wrapper))
+
+
+def flatten_csg(node: S.Solid, neg: bool = False):
+    """Normalize an arbitrarily nested CSG tree to the flat conjunctive
+    clause form: returns [(positive, [solid items])] where point
+    membership = AND over clauses of (inside any item) == positive.
+    Clause 0 is always positive (the leftmost positive-descent leaf),
+    which the useatex retexture path relies on."""
+    if isinstance(node, S.Difference):
+        if neg:
+            raise NotImplementedError(
+                "a difference inside the subtracted side of another CSG "
+                "is not conjunctive (NOT-IN(a & !b) = !a | b); "
+                "restructure the scene")
+        return flatten_csg(node.a) + flatten_csg(node.b, neg=True)
+    if isinstance(node, S.Intersection):
+        if neg:
+            raise NotImplementedError(
+                "an intersection inside the subtracted side of another "
+                "CSG is not conjunctive (NOT-IN(a & b) = !a | !b); "
+                "restructure the scene")
+        out = []
+        for it in node.items:
+            out.extend(flatten_csg(it))
+        return out
+    if isinstance(node, (S.Instance, S.Tex, S.Tag, S.NoShadow,
+                         S.OnlyShadow, S.Bound)) and _contains_csg(node):
+        return [(pos, [_rewrap(node, it) for it in items])
+                for pos, items in flatten_csg(node.item, neg)]
+    if isinstance(node, (S.Group, S.BihMarker)) and _contains_csg(node):
+        if not neg:
+            raise NotImplementedError(
+                "a union containing a CSG, used as a member of another "
+                "CSG, is not conjunctive (IN(a | (b & c))); restructure "
+                "the scene")
+        out = []
+        for it in node.items:
+            out.extend(flatten_csg(it, neg=True))
+        return out
+    return [(not neg, [node])]
 
 
 @dataclasses.dataclass
@@ -206,6 +360,8 @@ class _SceneBuild:
         self.csgs: List[Tuple[str, bool, List[List[int]], List[bool]]] = []
         self.convex_cids: set = set()
         # each csg: (kind, useatex, clause member serial lists, clause signs)
+        # pre-built shared-vertex mesh groups (bulk path, _walk_mesh)
+        self.mesh_groups: List[PrimGroup] = []
 
 
 class Compiler:
@@ -429,35 +585,122 @@ class Compiler:
         if isinstance(node, S.Mesh):
             self._walk_mesh(build, node, ctx)
             return
-        if isinstance(node, S.Difference):
+        if isinstance(node, (S.Difference, S.Intersection)):
             if ctx.csg is not None:
-                raise NotImplementedError("nested CSG is not supported yet")
+                # flatten_csg raises before descending into these; this
+                # is only reachable through a path it let through, which
+                # would mean a normalization bug
+                raise NotImplementedError(
+                    "CSG reached inside another CSG's clause member")
+            clauses = flatten_csg(node)
+            kind = ("difference" if isinstance(node, S.Difference)
+                    else "intersection")
+            useatex = isinstance(node, S.Difference) and node.useatex
             cid = len(build.csgs)
-            build.csgs.append(("difference", node.useatex, [[], []],
-                              [True, False]))
+            build.csgs.append((kind, useatex, [[] for _ in clauses],
+                               [p for p, _ in clauses]))
             base = dataclasses.replace(ctx, csg_outer_texs=len(ctx.texs),
                                        csg_outer_tags=len(ctx.tags))
-            self._walk(build, node.a, dataclasses.replace(base, csg=(cid, 0)))
-            self._walk(build, node.b, dataclasses.replace(base, csg=(cid, 1)))
-            return
-        if isinstance(node, S.Intersection):
-            if ctx.csg is not None:
-                raise NotImplementedError("nested CSG is not supported yet")
-            cid = len(build.csgs)
-            build.csgs.append(("intersection", False,
-                              [[] for _ in node.items],
-                              [True] * len(node.items)))
-            base = dataclasses.replace(ctx, csg_outer_texs=len(ctx.texs),
-                                       csg_outer_tags=len(ctx.tags))
-            for i, it in enumerate(node.items):
-                self._walk(build, it, dataclasses.replace(base, csg=(cid, i)))
+            for i, (_pos, items) in enumerate(clauses):
+                for it in items:
+                    self._walk(build, it,
+                               dataclasses.replace(base, csg=(cid, i)))
             return
         raise TypeError(f"unknown solid {type(node)}")
 
     def _walk_mesh(self, build, node: S.Mesh, ctx: _Ctx):
-        """Expand a mesh into baked triangles.  Per-tri textures/tags push
-        onto the surrounding stacks (Mesh.hs:148-153); mesh triangles do
-        not cast shadows in the reference (Mesh.hs:210)."""
+        """Shared-vertex mesh: verts/norms stay SoA on device; triangles
+        reference them by index (reference Mesh.hs:27-42) and the
+        per-tri params are differentiable gathers at trace time.  The
+        whole build is vectorized numpy -- no per-triangle host loop.
+        Per-tri textures/tags push onto the surrounding stacks
+        (Mesh.hs:148-153); mesh triangles do not cast shadows in the
+        reference (Mesh.hs:210)."""
+        if ctx.csg is not None:
+            # inside a CSG clause: fall back to baked per-tri records
+            # (the reference's mesh has inside=False, Mesh.hs:211, so
+            # this is exotic; correctness over speed here)
+            return self._walk_mesh_exploded(build, node, ctx)
+        xf = ctx.xfm
+        tris = np.asarray(node.tris, np.int32).reshape(-1, 8)
+        T = tris.shape[0]
+        if T == 0:
+            return
+        verts = np.asarray(node.verts, np.float64)
+        norms = (None if node.norms is None
+                 else np.asarray(node.norms, np.float64))
+        if not xf.is_identity():
+            verts = verts @ xf.fwd[:, :3].T + xf.fwd[:, 3]
+            if norms is not None:
+                # reference transforms mesh normals by the forward
+                # matrix like trianglenorm (Triangle.hs:170-177)
+                norms = norms @ xf.fwd[:, :3].T
+                norms = norms / np.linalg.norm(norms, axis=-1,
+                                               keepdims=True)
+
+        tex_ids = np.asarray([self.tex_id(t) for t in node.textures],
+                             np.int32).reshape(-1)
+        tag_ids = np.asarray([self.tag_id(t) for t in node.tags],
+                             np.int32).reshape(-1)
+
+        def stacks(table, per_tri, ctx_stack, depth):
+            base = np.full((depth,), -1, np.int32)
+            cs = np.asarray(ctx_stack[:depth], np.int32)
+            base[:len(cs)] = cs
+            out = np.tile(base, (T, 1))
+            has = (per_tri >= 0) & (per_tri < len(table))
+            if has.any():
+                shifted = np.concatenate(
+                    [np.zeros((T, 1), np.int32), out[:, :-1]], axis=1)
+                shifted[:, 0] = np.where(
+                    has, table[np.clip(per_tri, 0, max(len(table) - 1, 0))],
+                    -1)
+                out = np.where(has[:, None], shifted, out)
+            return out
+
+        tex_stack = stacks(tex_ids, tris[:, 6], ctx.texs, TEX_DEPTH)
+        tag_stack = stacks(tag_ids, tris[:, 7], ctx.tags, TAG_DEPTH)
+        serial0 = self._serial
+        self._serial += T
+        serials = serial0 + np.arange(T, dtype=np.int32)
+        has_n = (tris[:, 3] >= 0) if norms is not None \
+            else np.zeros(T, bool)
+        for mask, ptype in ((~has_n, "triangle"), (has_n, "trianglenorm")):
+            if not mask.any():
+                continue
+            tsel = tris[mask]
+            Tm = tsel.shape[0]
+            # Morton-order the triangles so BVH leaves / dense lane
+            # blocks are spatially compact (same as _morton_sort)
+            centers = (verts[tsel[:, 0]] + verts[tsel[:, 1]]
+                       + verts[tsel[:, 2]]) / 3.0
+            order = _morton_order(centers)
+            tsel = tsel[order]
+            src = {"verts": verts, "tri": tsel[:, :3].copy()}
+            params = {"p1": verts[tsel[:, 0]], "p2": verts[tsel[:, 1]],
+                      "p3": verts[tsel[:, 2]]}
+            if ptype == "trianglenorm":
+                src["norms"] = norms
+                src["tri_n"] = tsel[:, 3:6].copy()
+                params.update(n1=norms[tsel[:, 3]], n2=norms[tsel[:, 4]],
+                              n3=norms[tsel[:, 5]])
+            empty = np.full((Tm, TEX_DEPTH), -1, np.int32)
+            g = PrimGroup(
+                ptype=ptype, params=params, m_fwd=None, m_inv=None,
+                tex_stack=tex_stack[mask][order],
+                tag_stack=tag_stack[mask][order][:, :TAG_DEPTH],
+                local_tex_stack=empty,
+                local_tag_stack=np.full((Tm, TAG_DEPTH), -1, np.int32),
+                noshadow=np.ones(Tm, bool),     # Mesh.hs:210
+                onlyshadow=np.full(Tm, ctx.onlyshadow, bool),
+                csg_id=np.full(Tm, -1, np.int32),
+                csg_clause=np.full(Tm, -1, np.int32),
+                prim_serial=serials[mask][order],
+                vclass="plain", mesh_src=src)
+            build.mesh_groups.append(g)
+
+    def _walk_mesh_exploded(self, build, node: S.Mesh, ctx: _Ctx):
+        """Per-tri baked records (CSG-context fallback only)."""
         xf = ctx.xfm
         tex_ids = [self.tex_id(t) for t in node.textures]
         tag_ids = [self.tag_id(t) for t in node.tags]
@@ -639,20 +882,7 @@ class Compiler:
         if any(b is None for b in bounds):
             return recs
         centers = np.stack([(b[0] + b[1]) * 0.5 for b in bounds])
-        lo = centers.min(0)
-        span = np.maximum(centers.max(0) - lo, 1e-12)
-        q = np.clip(((centers - lo) / span * 1023.0), 0, 1023).astype(np.uint64)
-
-        def spread(x):
-            x = (x | (x << 16)) & np.uint64(0x030000FF)
-            x = (x | (x << 8)) & np.uint64(0x0300F00F)
-            x = (x | (x << 4)) & np.uint64(0x030C30C3)
-            x = (x | (x << 2)) & np.uint64(0x09249249)
-            return x
-
-        code = (spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1))
-                | (spread(q[:, 2]) << np.uint64(2)))
-        order = np.argsort(code, kind="stable")
+        order = _morton_order(centers)
         return [recs[i] for i in order]
 
     def _vclass_key(self, build: _SceneBuild, rec: _PrimRecord):
@@ -722,6 +952,9 @@ class Compiler:
                 group_builds.append((build, g, recs, vkey))
                 for li, r in enumerate(recs):
                     serial_loc[r.serial] = (si, gi, li)
+            for g in build.mesh_groups:
+                glist.append(g)
+                group_builds.append((build, g, [], ("plain", None)))
             csgs = []
             for kind, useatex, clause_serials, signs in build.csgs:
                 clauses = []

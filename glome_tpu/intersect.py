@@ -874,7 +874,8 @@ def intersect(compiled: CompiledScene, arrays, scene_id: int,
                                  scene_id=scene_id)
 
     sc = compiled.scenes[scene_id]
-    garrs = arrays["scenes"][scene_id]
+    from .compile import materialize_scene_params
+    garrs = materialize_scene_params(sc, arrays["scenes"][scene_id])
     N = o.shape[0]
     dt = o.dtype
     if tmax is None:

@@ -66,6 +66,14 @@ INF = INFINITY
 # scalars, so there is no per-prim gather penalty like the jnp path)
 DENSE_MAX = 96
 
+# plain flat-prim groups larger than this (e.g. 100k-triangle meshes)
+# can't live in the megakernel's SMEM scalar tables (100k tris x 9
+# floats = 3.6 MB vs ~1 MB SMEM); they run as a separate VMEM-streamed
+# dense_intersect launch (Morton block culling) seeded by/merged with
+# the megakernel result.  Flat prims only: their exit slot is always a
+# miss, so the merged winner id needs no slot bit from the kernel.
+MEGA_EXT_MIN = 16384
+
 RT = 1024  # rays per tile: one (8, 128) vreg block
 
 
@@ -158,6 +166,10 @@ class MegaPlan:
     # per-global-prim combo id / row within the combo's concat tables
     cid_all: np.ndarray = None
     row_all: np.ndarray = None
+    # oversized flat-prim groups served by a separate VMEM-streamed
+    # dense launch instead of SMEM phases (see MEGA_EXT_MIN)
+    external: List[Tuple[int, int]] = dataclasses.field(
+        default_factory=list)
 
 
 def _aabb_overlap(a, b, eps=1e-6):
@@ -208,6 +220,7 @@ def build_plan(compiled) -> MegaPlan:
     nf_off = ni_off = 0
     bb_spec: List[tuple] = []
     phases: List[Phase] = []
+    external: List[Tuple[int, int]] = []
     prim_base: Dict[Tuple[int, int], Tuple[int, int]] = {}
     tex_all, tag_all, ser_all, neg_all, csg_all, sc_of = [], [], [], [], [], []
     ltex_all, ltag_all, atex_all = [], [], []
@@ -362,6 +375,12 @@ def build_plan(compiled) -> MegaPlan:
                         vis=(not bool(g.onlyshadow[li]),
                              not bool(g.noshadow[li]))))
                 continue
+            if (g.vclass == "plain" and not g.constraints
+                    and g.m_inv is None
+                    and g.ptype in ("triangle", "trianglenorm")
+                    and g.size > MEGA_EXT_MIN):
+                external.append((si, gi))
+                continue
             # plain / inline groups: dense or in-kernel BVH
             use_bvh = g.size > DENSE_MAX and g.ptype != "plane"
             perm = None
@@ -497,7 +516,8 @@ def build_plan(compiled) -> MegaPlan:
         atex_all=(np.concatenate(atex_all) if atex_all
                   else np.zeros(0, bool)),
         warp_groups=frozenset(warp_groups),
-        combos=combos, cid_all=cid_all, row_all=row_all)
+        combos=combos, cid_all=cid_all, row_all=row_all,
+        external=external)
 
 
 def get_plan(compiled) -> MegaPlan:
@@ -514,12 +534,13 @@ def pack_tables(plan: MegaPlan, compiled, arrays):
     """(PF, BB) device tables.  The kernel only selects (winners are
     re-evaluated differentiably by finalize), so tables are built under
     stop_gradient."""
+    from .compile import group_device_params
     sg = jax.lax.stop_gradient
     parts = []
     for si, gi, idx, F in plan.pf_spec:
         g = compiled.scenes[si].groups[gi]
         ga = {k: sg(jnp.asarray(v)) for k, v in
-              arrays["scenes"][si][gi].items()}
+              group_device_params(g, arrays["scenes"][si][gi]).items()}
         cols = []
         for name, _w in FIELDS[g.ptype]:
             v = ga[name]
@@ -537,7 +558,7 @@ def pack_tables(plan: MegaPlan, compiled, arrays):
     for si, gi in plan.bb_spec:
         g = compiled.scenes[si].groups[gi]
         ga = {k: sg(jnp.asarray(v)) for k, v in
-              arrays["scenes"][si][gi].items()}
+              group_device_params(g, arrays["scenes"][si][gi]).items()}
         ab = prim_aabb(g.ptype,
                        {k: v for k, v in ga.items()
                         if k not in ("m_inv", "m_fwd")}, ga.get("m_fwd"))
@@ -1128,9 +1149,12 @@ def finalize(compiled, plan: MegaPlan, arrays, o, d, t, wid, aux=None,
     # ONE param gather from the unified padded table (differentiable)
     f_max = max((_field_width(pt) + (12 if tr else 0)
                  for pt, tr, _g, _w in plan.combos), default=1)
+    from .compile import group_device_params
     tabs = []
     for ptype, transformed, glist, _w in plan.combos:
-        gas = [arrays["scenes"][si][gi] for (si, gi) in glist]
+        gas = [group_device_params(compiled.scenes[si].groups[gi],
+                                   arrays["scenes"][si][gi])
+               for (si, gi) in glist]
         cols = []
         for name, _wd in FIELDS[ptype]:
             vs = [jnp.asarray(ga[name]) for ga in gas]
@@ -1233,8 +1257,41 @@ def mega_intersect(compiled, arrays, o, d, sid=None, tmax=None,
                               sid=None if sid is None else sg(sid),
                               shadow=shadow, interpret=interpret,
                               scene_id=scene_id)
+    t, wid = _run_external(compiled, plan, arrays, o, d, sid, t, wid,
+                           shadow, scene_id)
     return finalize(compiled, plan, arrays, o, d, t, wid, aux=aux,
                     want_meta=not shadow)
+
+
+def _run_external(compiled, plan, arrays, o, d, sid, t, wid, shadow,
+                  scene_id):
+    """Merge the oversized flat-prim groups (plan.external): each runs
+    as one VMEM-streamed dense_intersect launch seeded with the
+    megakernel's best t, so the cheaper pass culls the other."""
+    if not plan.external:
+        return t, wid
+    from .compile import materialize_scene_params
+    from .intersect import dense_pass
+    sg = jax.lax.stop_gradient
+    for si, gi in plan.external:
+        if sid is None and si != scene_id:
+            continue
+        sc = compiled.scenes[si]
+        g = sc.groups[gi]
+        if (shadow and bool(g.noshadow.all())) or \
+                (not shadow and bool(g.onlyshadow.all())):
+            continue
+        garrs = materialize_scene_params(sc, arrays["scenes"][si])
+        seed_g = t if sid is None else jnp.where(
+            sg(sid) == si, t, jnp.zeros_like(t))
+        t2, bl2 = dense_pass(sc, garrs, gi, sg(o), sg(d), sg(seed_g),
+                             shadow)
+        better = t2 < seed_g
+        base = plan.prim_base[(si, gi)][0]
+        # flat prims: the exit slot is always a miss, so slot bit = 0
+        wid = jnp.where(better, (base + jnp.maximum(bl2, 0)) * 2, wid)
+        t = jnp.where(better, t2, t)
+    return t, wid
 
 
 def mega_shadow(compiled, arrays, o, d, sid=None, tmax=None,
@@ -1247,8 +1304,10 @@ def mega_shadow(compiled, arrays, o, d, sid=None, tmax=None,
     seed = jnp.minimum(tmax, INFINITY)
     sg = jax.lax.stop_gradient
     pf, bb = pack_tables(plan, compiled, arrays)
-    _, wid, _ = mega_select(plan, pf, bb, sg(o), sg(d), sg(seed),
+    t, wid, _ = mega_select(plan, pf, bb, sg(o), sg(d), sg(seed),
                             sid=None if sid is None else sg(sid),
                             shadow=True, interpret=interpret,
                             scene_id=scene_id)
+    t, wid = _run_external(compiled, plan, arrays, o, d, sid, t, wid,
+                           shadow=True, scene_id=scene_id)
     return wid >= 0

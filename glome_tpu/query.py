@@ -16,14 +16,15 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from .compile import CompiledScene, TEX_DEPTH, TAG_DEPTH
+from .compile import (CompiledScene, TEX_DEPTH, TAG_DEPTH,
+                      materialize_scene_params)
 from .intersect import clause_in, group_inside_any, group_inside
 
 
 def inside(compiled: CompiledScene, arrays, pts, scene_id: int = 0):
     """(...,) bool: any solid of the scene contains each point."""
     sc = compiled.scenes[scene_id]
-    garrs = arrays["scenes"][scene_id]
+    garrs = materialize_scene_params(sc, arrays["scenes"][scene_id])
     pts = jnp.asarray(pts)
     out = jnp.zeros(pts.shape[:-1], dtype=bool)
     # plain prims (csg members are handled per csg object below)
@@ -45,7 +46,7 @@ def metainfo(compiled: CompiledScene, arrays, pts, scene_id: int = 0):
     per point (stacks are (-1)-padded int32 id arrays; resolve tag ids
     through compiled.tag_names)."""
     sc = compiled.scenes[scene_id]
-    garrs = arrays["scenes"][scene_id]
+    garrs = materialize_scene_params(sc, arrays["scenes"][scene_id])
     pts = jnp.asarray(pts)
     shape = pts.shape[:-1]
     found = jnp.zeros(shape, dtype=bool)

@@ -190,3 +190,115 @@ def test_convex_fast_path_matches_general_path():
     np.testing.assert_allclose(np.asarray(ha.norm)[hit],
                                np.asarray(hb.norm)[hit],
                                rtol=1e-3, atol=1e-3)
+
+
+# --- nested CSG (Csg.hs:14-15: members are arbitrary SolidItems) -----------
+
+def _march_oracle(inside_fn, o, d, tmax=20.0, steps=8000):
+    """First boundary crossing of a point-set membership function along
+    a ray (dense march + bisection refine) -- the scalar oracle for
+    nested CSG surface semantics."""
+    o = np.asarray(o, np.float64)
+    d = np.asarray(d, np.float64)
+    d = d / np.linalg.norm(d)
+    ts = np.linspace(1e-6, tmax, steps)
+    ins = inside_fn(o[None] + ts[:, None] * d[None])
+    flip = np.nonzero(ins[1:] != ins[:-1])[0]
+    if len(flip) == 0:
+        return None
+    lo, hi = ts[flip[0]], ts[flip[0] + 1]
+    ref = ins[flip[0]]
+    for _ in range(60):
+        mid = 0.5 * (lo + hi)
+        if inside_fn((o + mid * d)[None])[0] != ref:
+            hi = mid
+        else:
+            lo = mid
+    return 0.5 * (lo + hi)
+
+
+def _in_sphere(c, r):
+    c = np.asarray(c, np.float64)
+    return lambda p: np.sum((p - c) ** 2, axis=-1) < r * r
+
+
+def _sweep_vs_oracle(solid, inside_fn, seed=0, n=64):
+    """Random ray sweep: engine nearest-hit == oracle first crossing."""
+    rng = np.random.default_rng(seed)
+    o = rng.normal(0, 3.0, (n, 3))
+    at = rng.normal(0, 0.6, (n, 3))
+    d = at - o
+    compiled, arrays = _setup(solid)
+    h = _hits(compiled, arrays, o, d)
+    t = np.asarray(h.t)
+    hit = np.asarray(h.hit)
+    for i in range(n):
+        want = _march_oracle(inside_fn, o[i], d[i])
+        if want is None:
+            assert not hit[i], f"ray {i}: engine hit {t[i]}, oracle miss"
+        else:
+            assert hit[i], f"ray {i}: engine miss, oracle {want}"
+            np.testing.assert_allclose(t[i], want, rtol=2e-3, atol=2e-3,
+                                       err_msg=f"ray {i}")
+
+
+def test_difference_of_intersection():
+    # (s1 & s2) - s3: a lens with a bite taken out
+    s1, r1 = (-0.5, 0, 0), 1.0
+    s2, r2 = (0.5, 0, 0), 1.0
+    s3, r3 = (0.0, 0.45, 0), 0.5
+    solid = G.difference(
+        G.intersection([G.sphere(s1, r1), G.sphere(s2, r2)]),
+        G.sphere(s3, r3))
+    in1, in2, in3 = _in_sphere(s1, r1), _in_sphere(s2, r2), _in_sphere(s3, r3)
+    _sweep_vs_oracle(solid, lambda p: in1(p) & in2(p) & ~in3(p))
+
+
+def test_intersection_containing_difference():
+    # (s1 - s2) & s3
+    s1, r1 = (0, 0, 0), 1.0
+    s2, r2 = (0.6, 0, 0), 0.7
+    s3, r3 = (-0.2, 0.1, 0), 0.9
+    solid = G.intersection([
+        G.difference(G.sphere(s1, r1), G.sphere(s2, r2)),
+        G.sphere(s3, r3)])
+    in1, in2, in3 = _in_sphere(s1, r1), _in_sphere(s2, r2), _in_sphere(s3, r3)
+    _sweep_vs_oracle(solid, lambda p: in1(p) & ~in2(p) & in3(p), seed=1)
+
+
+def test_difference_of_difference():
+    # (s1 - s2) - s3
+    s1, r1 = (0, 0, 0), 1.2
+    s2, r2 = (0.8, 0, 0), 0.6
+    s3, r3 = (-0.8, 0.2, 0), 0.6
+    solid = G.difference(
+        G.difference(G.sphere(s1, r1), G.sphere(s2, r2)),
+        G.sphere(s3, r3))
+    in1, in2, in3 = _in_sphere(s1, r1), _in_sphere(s2, r2), _in_sphere(s3, r3)
+    _sweep_vs_oracle(solid, lambda p: in1(p) & ~in2(p) & ~in3(p), seed=2)
+
+
+def test_nested_csg_under_instance():
+    # transform wrapped around a nested CSG distributes onto every clause
+    import glome_tpu.xfm as X
+    inner = G.intersection([G.sphere((-0.5, 0, 0), 1.0),
+                            G.sphere((0.5, 0, 0), 1.0)])
+    solid = G.transform(G.difference(inner, G.sphere((0, 0.45, 0), 0.5)),
+                        [X.translate((0, 0, 2.0))])
+    in1 = _in_sphere((-0.5, 0, 2.0), 1.0)
+    in2 = _in_sphere((0.5, 0, 2.0), 1.0)
+    in3 = _in_sphere((0, 0.45, 2.0), 0.5)
+    _sweep_vs_oracle(solid, lambda p: in1(p) & in2(p) & ~in3(p), seed=3)
+
+
+def test_nonconjunctive_nesting_raises():
+    import pytest
+    a, b, c = (G.sphere((0, 0, 0), 1.0), G.sphere((0.5, 0, 0), 1.0),
+               G.sphere((-0.5, 0, 0), 1.0))
+    with pytest.raises(NotImplementedError):
+        G.compile_scene(G.difference(a, G.intersection([b, c])), ())
+    with pytest.raises(NotImplementedError):
+        G.compile_scene(G.difference(a, G.difference(b, c)), ())
+    with pytest.raises(NotImplementedError):
+        G.compile_scene(
+            G.intersection([G.group([G.difference(a, b), c]), a]), ())

@@ -57,6 +57,11 @@ def build_scene():
     items.append(G.difference(
         G.tex(G.box((-4, -1, 2), (-2, 1, 4)), _mat((1, 0, 1))),
         G.tex(G.sphere((-2, 0, 3), 0.8), _mat((0, 1, 1)))))
+    # nested CSG (conjunctive normalization): (lens & lens) - bite
+    items.append(G.tex(G.difference(
+        G.intersection([G.sphere((4.5, 0, 5.0), 1.0),
+                        G.sphere((5.5, 0, 5.0), 1.0)]),
+        G.sphere((5.0, 0.45, 5.0), 0.5)), _mat((0.2, 0.8, 0.6))))
     # shadow-control wrappers
     items.append(G.noshadow(G.tex(G.sphere((3, 3, 3), 0.5),
                                   _mat((0.5, 0.5, 0.5)))))
