@@ -28,5 +28,6 @@ from .trace_wavefront import WavefrontTracer
 from .render import Camera, Renderer, camera
 from .intersect import Hit, intersect, shadow_query
 from .query import inside, metainfo
+from .soft import SoftTracer
 
 __version__ = "0.1.0"
