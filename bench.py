@@ -123,12 +123,78 @@ def main():
     mrays = n_rays / dt / 1e6
     print(f"# {dt*1e3:.1f} ms/frame, {n_rays} primary rays", file=sys.stderr)
 
+    mesh_stats = {}
+    try:
+        mesh_stats = bench_mesh(jax)
+    except Exception as e:  # noqa: BLE001 -- secondary metric must not
+        print(f"# mesh bench failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "TestScene_720x480_depth3_primary_Mrays_per_s",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 2),
+        **mesh_stats,
     }))
+
+
+def bench_mesh(jax):
+    """BASELINE config 4: 100k-triangle shared-vertex mesh at 1080p,
+    primary rays + per-light shadows (depth 1)."""
+    import jax.numpy as jnp
+    import glome_tpu as G
+    from glome_tpu.scenes.meshscene import mesh_scene
+    from glome_tpu.config import RenderConfig
+    from glome_tpu.render import Renderer, tile_order
+
+    t0 = time.time()
+    solid, lights, cam = mesh_scene(100_000)
+    compiled = G.compile_scene(solid, lights)
+    arrays = jax.device_put(compiled.arrays())
+    cfg = RenderConfig(xres=1920, yres=1080, maxdepth=1)
+    tracer = G.WavefrontTracer(compiled, cfg)
+    renderer = Renderer(tracer, cam, cfg)
+    print(f"# mesh scene setup {time.time()-t0:.1f}s", file=sys.stderr)
+
+    ys, xs = np.mgrid[0:cfg.yres, 0:cfg.xres]
+    perm = tile_order(cfg.xres, cfg.yres)
+    o, d = renderer.rays_for_pixels(xs.reshape(-1)[perm].astype(np.float32),
+                                    ys.reshape(-1)[perm].astype(np.float32))
+    o = jax.device_put(o)
+    d = jax.device_put(d)
+
+    def chain(n):
+        def run(a, o_, d_, prev):
+            def body(_, p):
+                res = tracer.trace(a, o_ + p * 1e-4, d_)
+                return jnp.mean(res.color[:, :3], axis=0)
+            return jax.lax.fori_loop(0, n, body, prev)
+        return jax.jit(run)
+
+    n_long, n_short = 5, 1
+    f_long, f_short = chain(n_long), chain(n_short)
+    prev0 = jnp.zeros((3,), jnp.float32)
+    t0 = time.time()
+    jax.block_until_ready(f_short(arrays, o, d, prev0))
+    jax.block_until_ready(f_long(arrays, o, d, prev0 + 1e-5))
+    print(f"# mesh compile+first {time.time()-t0:.1f}s", file=sys.stderr)
+    dts = []
+    for r in range(2):
+        eps = jnp.float32(1e-5 * (r + 1))
+        t0 = time.time()
+        jax.block_until_ready(f_short(arrays, o, d, prev0 + 2.0 * eps))
+        t_s = time.time() - t0
+        t0 = time.time()
+        jax.block_until_ready(f_long(arrays, o, d, prev0 + eps))
+        t_l = time.time() - t0
+        dts.append((t_l - t_s) / (n_long - n_short))
+        print(f"# mesh rep {r}: {dts[-1]*1e3:.1f} ms/frame", file=sys.stderr)
+    dt = sorted(dts)[len(dts) // 2]
+    n_rays = o.shape[0]
+    return {
+        "mesh100k_1080p_ms_per_frame": round(dt * 1e3, 1),
+        "mesh100k_1080p_Mrays_per_s": round(n_rays / dt / 1e6, 3),
+    }
 
 
 if __name__ == "__main__":

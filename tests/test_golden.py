@@ -1,0 +1,57 @@
+"""Golden-image regression test (VERDICT r1 weak #4).
+
+Renders a small TestScene frame through the full production path
+(compile -> WavefrontTracer w/ the tuned queue schedule -> Renderer)
+on the CPU backend and compares against a committed golden PNG.
+
+The golden was produced by this exact code path (see
+tools/gen_golden.py); any pixel change means the render pipeline's
+output changed and must be re-justified (then regenerate with
+`python tools/gen_golden.py`).  CPU float ops are deterministic, so
+the comparison is exact.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
+                      "testscene_180x120_cpu.png")
+
+
+def _render():
+    import jax
+    import glome_tpu as G
+    from glome_tpu.scenes import test_scene
+    from glome_tpu.config import RenderConfig
+    from glome_tpu.render import Renderer
+
+    solid, lights, cam = test_scene()
+    compiled = G.compile_scene(solid, lights)
+    cfg = RenderConfig.tuned(xres=180, yres=120)
+    tracer = G.WavefrontTracer(compiled, cfg)
+    renderer = Renderer(tracer, cam, cfg)
+    rgb, depth = renderer.render(compiled.arrays())
+    ov = getattr(renderer, "last_overflow", None)
+    return np.asarray(rgb), ov
+
+
+def test_golden_testscene_cpu():
+    from PIL import Image
+    from glome_tpu.io import quantize
+
+    assert os.path.exists(GOLDEN), \
+        "golden missing; generate with `python tools/gen_golden.py`"
+    rgb, ov = _render()
+    # no queue overflow at the test resolution (silent-drop guard)
+    if ov is not None:
+        assert int(np.asarray(ov).sum()) == 0, np.asarray(ov)
+    got = quantize(rgb)
+    want = np.asarray(Image.open(GOLDEN))
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    # exact on CPU: any nonzero pixel is a regression
+    bad = int((diff > 0).sum())
+    assert bad == 0, (f"{bad} channel values differ "
+                      f"(max {diff.max()}); if intentional, regenerate "
+                      f"via tools/gen_golden.py and justify in the commit")

@@ -1,0 +1,33 @@
+"""Regenerate the committed CPU golden image for tests/test_golden.py.
+
+Run on the CPU backend (forced below); commit the PNG and justify the
+pixel delta whenever this is regenerated.
+"""
+import os
+import sys
+
+sys.path.insert(0, ".")
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import glome_tpu as G
+from glome_tpu.scenes import test_scene
+from glome_tpu.config import RenderConfig
+from glome_tpu.render import Renderer
+from glome_tpu.io import write_png
+
+solid, lights, cam = test_scene()
+compiled = G.compile_scene(solid, lights)
+cfg = RenderConfig.tuned(xres=180, yres=120)
+tracer = G.WavefrontTracer(compiled, cfg)
+renderer = Renderer(tracer, cam, cfg)
+rgb, depth = renderer.render(compiled.arrays())
+ov = getattr(renderer, "last_overflow", None)
+if ov is not None:
+    assert int(np.asarray(ov).sum()) == 0, np.asarray(ov)
+out = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
+                   "testscene_180x120_cpu.png")
+os.makedirs(os.path.dirname(out), exist_ok=True)
+write_png(out, np.asarray(rgb))
+print("wrote", out)
