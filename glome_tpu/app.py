@@ -34,6 +34,10 @@ def main(argv=None):
                    help="adaptive subsample/supersample antialiasing")
     p.add_argument("--pick", type=int, nargs=2, metavar=("X", "Y"),
                    help="print the tag stack for the object at pixel X,Y")
+    p.add_argument("--debug", action="store_true",
+                   help="render the rayint_debug work map instead of "
+                        "color: prims tested -> red, BVH nodes -> green "
+                        "(reference get_color_debug, Glome.hs:57-62)")
     p.add_argument("--iters", type=int, default=1,
                    help="repeat the render (timing consistency)")
     p.add_argument("--lattice-n", type=int, default=10)
@@ -77,6 +81,18 @@ def main(argv=None):
     except NotImplementedError:
         tracer = G.Tracer(compiled, cfg)
     print(f"scene setup: {time.time()-t0:.3f}s")
+
+    if args.debug:
+        from glome_tpu.debug import debug_image
+        t0 = time.time()
+        img, prims, nodes = debug_image(compiled, arrays, cam,
+                                        args.xres, args.yres)
+        print(f"debug render: {time.time()-t0:.3f}s; per-ray prims "
+              f"mean {prims.mean():.1f} max {prims.max():.0f}, nodes "
+              f"mean {nodes.mean():.1f} max {nodes.max():.0f}")
+        write_png(args.out, img)
+        print(f"-> {args.out}")
+        return
 
     if args.pick:
         from glome_tpu.pick import pick
