@@ -10,7 +10,7 @@ static metadata.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 # Sentinel "infinity" used for miss distances (reference: Vec.hs:14).
 INFINITY = 1.0e6
@@ -56,19 +56,25 @@ class RenderConfig:
     # fraction of the primary ray count per depth level.
     secondary_capacity: float = 1.0
     # Per-level wavefront queue capacities, each a fraction of the
-    # CURRENT level's queue size (entries past the end clamp to the
-    # last).  Child-ray occupancy decays geometrically with depth
-    # (secondary rays of secondary rays are rare), so scheduled
-    # capacities shrink every level's intersect/shadow batch to the
-    # rays that actually exist instead of paying full-queue passes at
-    # every depth.  None = derive from secondary_capacity (reflect =
-    # s, refract/warp = s/2, shadow exact), the conservative default.
-    reflect_capacity: Optional[Tuple[float, ...]] = None
-    refract_capacity: Optional[Tuple[float, ...]] = None
-    warp_capacity: Optional[Tuple[float, ...]] = None
+    # CURRENT level's queue size: a tuple clamps at its last entry, a
+    # bare float applies to every level.  Child-ray occupancy decays
+    # geometrically with depth (secondary rays of secondary rays are
+    # rare), so scheduled capacities shrink every level's
+    # intersect/shadow batch to the rays that actually exist instead of
+    # paying full-queue passes at every depth.  None = derive from
+    # secondary_capacity (reflect = s, refract/warp = s/2, shadow
+    # exact), the conservative default.  Overflowing child rays are
+    # DROPPED (their color falls back to the transparent miss) and
+    # counted in TraceResult.overflow.
+    reflect_capacity: Optional[Union[float, Tuple[float, ...]]] = None
+    refract_capacity: Optional[Union[float, Tuple[float, ...]]] = None
+    warp_capacity: Optional[Union[float, Tuple[float, ...]]] = None
     # Shadow-ray batch capacity per light, fraction of the level queue.
-    # None = exact (one slot per queue ray per light).
-    shadow_capacity: Optional[Tuple[float, ...]] = None
+    # None / >= 1 = the lossless masked full-width path.  Overflowing
+    # shadow rays count as UNBLOCKED, i.e. undersizing leaks light
+    # (shadowed points render lit); drops are counted in
+    # TraceResult.overflow.
+    shadow_capacity: Optional[Union[float, Tuple[float, ...]]] = None
     # Miss-shader color (the reference Shader.missshade, Trace.hs:15-19):
     # rays that hit nothing return this opaque color instead of the
     # transparent miss.  None = transparent (mmissshade, Shader.hs:187).

@@ -52,12 +52,14 @@ from .vec import reflect as vreflect, vdot, vnorm, vscaleadd
 
 
 def _lvl(seq, level, default):
-    """Per-level schedule lookup: tuple clamps at its last entry,
-    scalar applies to every level, None yields the default."""
+    """Per-level schedule lookup: tuple clamps at its last entry (empty
+    tuple = default), scalar applies to every level, None = default."""
     if seq is None:
         return default
     if isinstance(seq, (int, float)):
         return float(seq)
+    if len(seq) == 0:
+        return default
     return float(seq[min(level, len(seq) - 1)])
 
 
