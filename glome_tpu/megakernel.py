@@ -1271,7 +1271,7 @@ def _run_external(compiled, plan, arrays, o, d, sid, t, wid, shadow,
     if not plan.external:
         return t, wid
     from .compile import materialize_scene_params
-    from .intersect import dense_pass
+    from .mesh_kernel import mesh_block_pass
     sg = jax.lax.stop_gradient
     for si, gi in plan.external:
         if sid is None and si != scene_id:
@@ -1284,8 +1284,8 @@ def _run_external(compiled, plan, arrays, o, d, sid, t, wid, shadow,
         garrs = materialize_scene_params(sc, arrays["scenes"][si])
         seed_g = t if sid is None else jnp.where(
             sg(sid) == si, t, jnp.zeros_like(t))
-        t2, bl2 = dense_pass(sc, garrs, gi, sg(o), sg(d), sg(seed_g),
-                             shadow)
+        t2, bl2 = mesh_block_pass(sc, garrs, gi, sg(o), sg(d), sg(seed_g),
+                                  shadow)
         better = t2 < seed_g
         base = plan.prim_base[(si, gi)][0]
         # flat prims: the exit slot is always a miss, so slot bit = 0
