@@ -619,6 +619,13 @@ def mega_select(plan: MegaPlan, pf, bb, o, d, seed_t, sid=None,
             sidr = rc(7)
             scene_ok = {s: sidr == float(s) for s in range(plan.n_scenes)}
 
+        def sh_undone(bt):
+            """Shadow mode: lanes still needing occlusion tests.  A lane
+            is done when occluded (bt < seed) OR dead (seed <= 0, the
+            masked-inactive tmax=0 rays) -- dead lanes must not block
+            the tile's early exit (0 < 0 is never true)."""
+            return (seed > 0.0) & (bt >= seed)
+
         def phase_ray_ok(ph):
             """Per-ray static validity (scene match) for a phase."""
             if multi:
@@ -850,7 +857,7 @@ def mega_select(plan: MegaPlan, pf, bb, o, d, seed_t, sid=None,
             elif rok is not None:
                 conds.append(jnp.any(rok))
             if shadow:
-                conds.append(~jnp.all(bt < seed))
+                conds.append(jnp.any(sh_undone(bt)))
             if conds:
                 cond = conds[0]
                 for c in conds[1:]:
@@ -903,7 +910,7 @@ def mega_select(plan: MegaPlan, pf, bb, o, d, seed_t, sid=None,
                         (bt, bw, hitm, ls, lc))
                     nxt = jnp.where(anyhit, node + 1, ni_ref[nib])
                     if shadow:
-                        nxt = jnp.where(jnp.all(bt < seed), M, nxt)
+                        nxt = jnp.where(jnp.any(sh_undone(bt)), nxt, M)
                     return nxt, bt, bw
 
                 bt, bw = args
@@ -915,7 +922,7 @@ def mega_select(plan: MegaPlan, pf, bb, o, d, seed_t, sid=None,
             if rok is not None:
                 conds.append(jnp.any(rok))
             if shadow:
-                conds.append(~jnp.all(bt < seed))
+                conds.append(jnp.any(sh_undone(bt)))
             if conds:
                 cond = conds[0]
                 for c in conds[1:]:
@@ -993,7 +1000,7 @@ def mega_select(plan: MegaPlan, pf, bb, o, d, seed_t, sid=None,
             if rok is not None:
                 conds.append(jnp.any(rok))
             if shadow:
-                conds.append(~jnp.all(bt < seed))
+                conds.append(jnp.any(sh_undone(bt)))
             if conds:
                 cond = conds[0]
                 for c in conds[1:]:
@@ -1052,7 +1059,7 @@ def mega_select(plan: MegaPlan, pf, bb, o, d, seed_t, sid=None,
 
             cond = jnp.any(v0 | v1)
             if shadow:
-                cond = cond & ~jnp.all(bt < seed)
+                cond = cond & jnp.any(sh_undone(bt))
             return jax.lax.cond(cond, body,
                                 lambda a: (a[0], a[1], a[2]),
                                 (bt, bw, ba, t0, t1, v0, v1))
