@@ -111,6 +111,124 @@ def _bbsa(bmin, bmax):
                   + d[..., 1] * d[..., 2])
 
 
+@dataclasses.dataclass
+class Bvh2:
+    """Binary BVH for ORDERED (near-child-first) traversal: inner nodes
+    store both children, leaves a contiguous [leaf_start, +count) range
+    of `order`.  The reference's recursive interval narrowing
+    (Bih.hs:332-368, Mesh.hs:172-196) visits the nearer child first and
+    shrinks the far child's interval by the best hit; a skip-link walk
+    cannot reorder, so per-tile stack traversal of this layout is the
+    TPU analog."""
+    bmin: np.ndarray        # (M, 3) float32
+    bmax: np.ndarray        # (M, 3)
+    left: np.ndarray        # (M,) int32, -1 for leaves
+    right: np.ndarray       # (M,) int32
+    leaf_start: np.ndarray  # (M,) int32 index into order
+    leaf_count: np.ndarray  # (M,) int32, 0 for inner nodes
+    order: np.ndarray       # (P,) int32 prim indices in leaf order
+    depth: int              # max tree depth (stack bound)
+
+    @property
+    def n_nodes(self):
+        return int(self.bmin.shape[0])
+
+
+def build_bvh2(bmin: np.ndarray, bmax: np.ndarray,
+               leaf_max: int = LEAF_MAX) -> Bvh2:
+    """Strictly binary cost-based build (same candidate-split search as
+    build_bvh, Bih.hs:211-285); oversized cost-leaves are forced apart
+    by a median split so every leaf holds <= leaf_max prims."""
+    P = bmin.shape[0]
+    mids = (bmin + bmax) * 0.5
+    sa = _bbsa(bmin, bmax)
+
+    nb_min: List[np.ndarray] = []
+    nb_max: List[np.ndarray] = []
+    nleft: List[int] = []
+    nright: List[int] = []
+    nls: List[int] = []
+    nlc: List[int] = []
+    order: List[int] = []
+    maxdepth = [0]
+
+    def emit(idx: np.ndarray, depth: int) -> int:
+        me = len(nleft)
+        maxdepth[0] = max(maxdepth[0], depth)
+        nb_min.append(bmin[idx].min(axis=0))
+        nb_max.append(bmax[idx].max(axis=0))
+        nleft.append(-1)
+        nright.append(-1)
+        nls.append(-1)
+        nlc.append(0)
+        n = len(idx)
+        if n <= leaf_max:
+            nls[me] = len(order)
+            nlc[me] = n
+            order.extend(idx.tolist())
+            return me
+        node_sa = max(_bbsa(nb_min[me][None], nb_max[me][None])[0], 1e-30)
+        best_cost = node_sa * n if n <= 3 else np.inf
+        l = r = None
+        for axis in range(3):
+            c = (nb_min[me][axis] + nb_max[me][axis]) * 0.5
+            sel = mids[idx, axis] < c
+            li, ri = idx[sel], idx[~sel]
+            if len(li) == 0 or len(ri) == 0:
+                continue
+            cost = (_bbsa(bmin[li].min(0)[None], bmax[li].max(0)[None])[0]
+                    * len(li)
+                    + _bbsa(bmin[ri].min(0)[None], bmax[ri].max(0)[None])[0]
+                    * len(ri)) * COST_SPLIT
+            if cost < best_cost:
+                best_cost, l, r = cost, li, ri
+        sel = sa[idx] > node_sa * BIG_SA_FRAC
+        li, ri = idx[sel], idx[~sel]
+        if len(li) and len(ri):
+            cost = (_bbsa(bmin[li].min(0)[None], bmax[li].max(0)[None])[0]
+                    * len(li)
+                    + _bbsa(bmin[ri].min(0)[None], bmax[ri].max(0)[None])[0]
+                    * len(ri)) * COST_BIG
+            if cost < best_cost:
+                best_cost, l, r = cost, li, ri
+        if l is None:
+            # forced median split on the longest axis keeps the tree
+            # binary when the cost search degenerates
+            axis = int(np.argmax(nb_max[me] - nb_min[me]))
+            ordax = np.argsort(mids[idx, axis], kind="stable")
+            h = n // 2
+            l, r = idx[ordax[:h]], idx[ordax[h:]]
+        nleft[me] = emit(l, depth + 1)
+        nright[me] = emit(r, depth + 1)
+        return me
+
+    if P:
+        import sys
+        old = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(old, 100000))
+        emit(np.arange(P), 1)
+        sys.setrecursionlimit(old)
+
+    M = max(len(nleft), 1)
+    if not nleft:  # empty group: one empty leaf
+        return Bvh2(bmin=np.zeros((1, 3), np.float32),
+                    bmax=np.zeros((1, 3), np.float32),
+                    left=np.full(1, -1, np.int32),
+                    right=np.full(1, -1, np.int32),
+                    leaf_start=np.zeros(1, np.int32),
+                    leaf_count=np.zeros(1, np.int32),
+                    order=np.zeros(0, np.int32), depth=1)
+    return Bvh2(
+        bmin=np.asarray(nb_min, np.float32).reshape(M, 3),
+        bmax=np.asarray(nb_max, np.float32).reshape(M, 3),
+        left=np.asarray(nleft, np.int32),
+        right=np.asarray(nright, np.int32),
+        leaf_start=np.asarray(nls, np.int32),
+        leaf_count=np.asarray(nlc, np.int32),
+        order=np.asarray(order, np.int32),
+        depth=maxdepth[0])
+
+
 def build_bvh(bmin: np.ndarray, bmax: np.ndarray,
               leaf_max: int = LEAF_MAX, native: bool = True) -> BvhFlat:
     """Cost-based build with the reference's candidate-split search

@@ -75,6 +75,10 @@ class RenderConfig:
     # (shadowed points render lit); drops are counted in
     # TraceResult.overflow.
     shadow_capacity: Optional[Union[float, Tuple[float, ...]]] = None
+    # Wavefront queue-capacity floor, in 1024-ray tiles: segments keep
+    # at least this many tiles, so small renders (where every tile is
+    # live) stay lossless under any schedule fraction.
+    min_tiles: int = 24
     # Miss-shader color (the reference Shader.missshade, Trace.hs:15-19):
     # rays that hit nothing return this opaque color instead of the
     # transparent miss.  None = transparent (mmissshade, Shader.hs:187).

@@ -74,6 +74,17 @@ DENSE_MAX = 96
 # miss, so the merged winner id needs no slot bit from the kernel.
 MEGA_EXT_MIN = 16384
 
+# groups larger than this route to the block-dense kernel
+# (block_kernel.py): Morton 128-prim blocks tested dense per BVH step,
+# as a separate seeded launch.  Round-3 profiling showed the in-kernel
+# per-prim 'bvh' phases cost 25 of the 28 ms L0-shadow launch on
+# these groups (tools/PERF_BUDGET.md).
+BLOCK_MIN = 512
+
+# block-eligible constraint sets: every clause member inlined as SMEM
+# scalars, evaluated per dense candidate -- cheap only when tiny
+BLOCK_CONS_MAX = 8
+
 RT = 1024  # rays per tile: one (8, 128) vreg block
 
 
@@ -170,6 +181,9 @@ class MegaPlan:
     # dense launch instead of SMEM phases (see MEGA_EXT_MIN)
     external: List[Tuple[int, int]] = dataclasses.field(
         default_factory=list)
+    # big groups served by the block-dense kernel (see BLOCK_MIN)
+    blocks: List[Tuple[int, int]] = dataclasses.field(
+        default_factory=list)
 
 
 def _aabb_overlap(a, b, eps=1e-6):
@@ -221,6 +235,7 @@ def build_plan(compiled) -> MegaPlan:
     bb_spec: List[tuple] = []
     phases: List[Phase] = []
     external: List[Tuple[int, int]] = []
+    blocks: List[Tuple[int, int]] = []
     prim_base: Dict[Tuple[int, int], Tuple[int, int]] = {}
     tex_all, tag_all, ser_all, neg_all, csg_all, sc_of = [], [], [], [], [], []
     ltex_all, ltag_all, atex_all = [], [], []
@@ -381,6 +396,12 @@ def build_plan(compiled) -> MegaPlan:
                     and g.size > MEGA_EXT_MIN):
                 external.append((si, gi))
                 continue
+            cons_rows = sum(len(idx) for _pos, members in
+                            (g.constraints or []) for _gi2, idx in members)
+            if (g.size > BLOCK_MIN and g.ptype != "plane"
+                    and not vis_mixed and cons_rows <= BLOCK_CONS_MAX):
+                blocks.append((si, gi))
+                continue
             # plain / inline groups: dense or in-kernel BVH
             use_bvh = g.size > DENSE_MAX and g.ptype != "plane"
             perm = None
@@ -517,7 +538,7 @@ def build_plan(compiled) -> MegaPlan:
                   else np.zeros(0, bool)),
         warp_groups=frozenset(warp_groups),
         combos=combos, cid_all=cid_all, row_all=row_all,
-        external=external)
+        external=external, blocks=blocks)
 
 
 def get_plan(compiled) -> MegaPlan:
@@ -827,8 +848,11 @@ def mega_select(plan: MegaPlan, pf, bb, o, d, seed_t, sid=None,
                 def step(p, carry):
                     bt, bw = carry
                     gp = pi_ref[ph.pi_base + p * 2]
+                    ok = prim_ok(ph, p, rok)
+                    if shadow:
+                        ok = ok & sh_undone(bt)
                     return prim_test(ph, ph.pf_base + p * ph.F, gp,
-                                     prim_ok(ph, p, rok), bt, bw)
+                                     ok, bt, bw)
 
                 if ph.P <= 8:
                     for p in range(ph.P):
@@ -900,6 +924,10 @@ def mega_select(plan: MegaPlan, pf, bb, o, d, seed_t, sid=None,
                     hitm = (near <= far) & (far > 0.0) & (near < bt)
                     if rok is not None:
                         hitm = hitm & rok
+                    if shadow:
+                        # any-hit: a blocked lane must stop pulling the
+                        # tile through geometry nearer than its blocker
+                        hitm = hitm & sh_undone(bt)
                     anyhit = jnp.any(hitm)
                     nib = ph.ni_base + node * 3
                     lc = ni_ref[nib + 2]
@@ -993,6 +1021,8 @@ def mega_select(plan: MegaPlan, pf, bb, o, d, seed_t, sid=None,
                       & (t_cand < INF))
                 if rok is not None:
                     ok = ok & rok
+                if shadow:
+                    ok = ok & sh_undone(bt)
                 return (jnp.where(ok, t_cand, bt),
                         jnp.where(ok, jnp.where(entering, w_in, w_out), bw))
 
@@ -1017,6 +1047,8 @@ def mega_select(plan: MegaPlan, pf, bb, o, d, seed_t, sid=None,
             rok = phase_ray_ok(ph)
             t0, t1 = prim_candidates(ph, ph.pf_base)
             ok = rok if rok is not None else (seed > -1.0)
+            if shadow:
+                ok = ok & sh_undone(bt)
             v0 = ok & (t0 > 0.0) & (t0 < bt) & (t0 < INF) & (not ph.neg)
             v1 = ok & (t1 > 0.0) & (t1 < bt) & (t1 < INF)
 
@@ -1264,10 +1296,45 @@ def mega_intersect(compiled, arrays, o, d, sid=None, tmax=None,
                               sid=None if sid is None else sg(sid),
                               shadow=shadow, interpret=interpret,
                               scene_id=scene_id)
+    t, wid = _run_blocks(compiled, plan, arrays, o, d, sid, t, wid,
+                         shadow, scene_id)
     t, wid = _run_external(compiled, plan, arrays, o, d, sid, t, wid,
                            shadow, scene_id)
     return finalize(compiled, plan, arrays, o, d, t, wid, aux=aux,
                     want_meta=not shadow)
+
+
+def _run_blocks(compiled, plan, arrays, o, d, sid, t, wid, shadow,
+                scene_id):
+    """Merge the block-dense groups (plan.blocks): each is one seeded
+    block_kernel launch; the chain keeps cross-group best-t culling."""
+    if not plan.blocks:
+        return t, wid
+    from .compile import materialize_scene_params
+    from .block_kernel import block_pass
+    sg = jax.lax.stop_gradient
+    for si, gi in plan.blocks:
+        if sid is None and si != scene_id:
+            continue
+        sc = compiled.scenes[si]
+        g = sc.groups[gi]
+        if (shadow and bool(g.noshadow.all())) or \
+                (not shadow and bool(g.onlyshadow.all())):
+            continue
+        garrs = materialize_scene_params(sc, arrays["scenes"][si])
+        seed_g = t if sid is None else jnp.where(
+            sg(sid) == si, t, jnp.zeros_like(t))
+        if shadow:
+            # already-blocked lanes are done: zero their seed so they
+            # don't drag tiles through the walk (any-hit semantics)
+            seed_g = jnp.where(wid >= 0, jnp.zeros_like(seed_g), seed_g)
+        t2, l2 = block_pass(sc, garrs, gi, sg(o), sg(d), sg(seed_g),
+                            shadow)
+        better = (t2 < seed_g) & (l2 >= 0)
+        base = plan.prim_base[(si, gi)][0]
+        wid = jnp.where(better, base * 2 + jnp.maximum(l2, 0), wid)
+        t = jnp.where(better, t2, t)
+    return t, wid
 
 
 def _run_external(compiled, plan, arrays, o, d, sid, t, wid, shadow,
@@ -1315,6 +1382,8 @@ def mega_shadow(compiled, arrays, o, d, sid=None, tmax=None,
                             sid=None if sid is None else sg(sid),
                             shadow=True, interpret=interpret,
                             scene_id=scene_id)
+    t, wid = _run_blocks(compiled, plan, arrays, o, d, sid, t, wid,
+                         shadow=True, scene_id=scene_id)
     t, wid = _run_external(compiled, plan, arrays, o, d, sid, t, wid,
                            shadow=True, scene_id=scene_id)
     return wid >= 0

@@ -12,21 +12,31 @@ per depth level:
          fixed queue segments [reflect | refract_m | warp_frame_w |
          warp_target_w] forming the NEXT level's (smaller) queue.
   UP:    shading runs deepest-first; each level folds its texture
-         stacks (cafold) using the child colors scattered back from the
+         stacks (cafold) using the child colors read back from the
          next level's queue segments.  The deepest level's children are
          the transparent miss -- exactly trace at recursion 0
          (Trace.hs:60), so depth-exhaustion semantics match the
          reference with no special cases.
 
+Queues are built at TILE=1024-ray granularity (one (8,128) kernel
+tile): a segment keeps a tile iff ANY of its parents spawns that child
+kind, and within a kept tile children sit at their parents' positions.
+Round-3 profiling (tools/PERF_BUDGET.md) showed element-level
+compaction cost ~14 ms/frame of nonzero/scatter index machinery plus
+~8 ms of 1-D up-pass gathers; tile buckets replace all of it with a
+handful of (T,)-sized cumsums and 2-D tile-row gathers, keep parent
+beam coherence inside the kernels, and leave dead lanes to the
+kernels' per-tile guards (tmax 0 lanes cull for free).
+
 Queue sizes shrink with depth on a static capacity schedule
-(RenderConfig.{reflect,refract,warp,shadow}_capacity): secondary-ray
-occupancy decays geometrically (TestScene: level-1 queues are ~35%
-live, level-2 under 10%), so scheduled capacities cut the per-frame
-ray-pass volume several-fold versus running every level at the
-primary-ray width.  Rays beyond a segment's capacity are dropped
-(child color falls back to the transparent miss; overflowing shadow
-rays count as unblocked) -- capacities ship with generous headroom
-over measured occupancy and are fully configurable.
+(RenderConfig.{reflect,refract,warp,shadow}_capacity), now counted in
+TILES: secondary-ray occupancy decays geometrically with depth, so
+scheduled capacities cut the per-frame ray-pass volume several-fold
+versus running every level at the primary-ray width.  Tiles beyond a
+segment's capacity are dropped (child color falls back to the
+transparent miss; overflowing shadow rays count as unblocked) -- drops
+are counted per segment in TraceResult.overflow.  Shadow batches
+always tile-compact losslessly (capacity 1.0 keeps every live tile).
 
 Constraints: all light sets must equal the root set (true for the
 TestScene portal, TestScene.hs:179); scenes with per-warp light sets
@@ -46,9 +56,10 @@ from . import color as C
 from .compile import CompiledScene, TEX_DEPTH, TAG_DEPTH
 from .config import DELTA, INFINITY, RenderConfig
 from .intersect import Hit, intersect_multi, shadow_query_multi
-from .trace import TraceResult, Tracer, compact_indices, gather, scatter, \
-    _light_arrays
+from .trace import TraceResult, Tracer, _light_arrays
 from .vec import reflect as vreflect, vdot, vnorm, vscaleadd
+
+TILE = 1024  # queue granularity: one (8,128) kernel tile
 
 
 def _lvl(seq, level, default):
@@ -61,6 +72,32 @@ def _lvl(seq, level, default):
     if len(seq) == 0:
         return default
     return float(seq[min(level, len(seq) - 1)])
+
+
+def _tile_sel(mask, cap_t):
+    """Tile-bucket selection for an element mask of (Tq*TILE,):
+    (tidx, inv, n_dropped, n_live) where tidx (cap_t,) lists kept tile
+    ids (fill Tq), inv (Tq,) maps a parent tile to its kept slot or -1,
+    n_dropped counts masked elements in dropped tiles, and n_live
+    counts live tiles (for occupancy instrumentation)."""
+    Tq = mask.shape[0] // TILE
+    tl = jnp.any(mask.reshape(Tq, TILE), axis=1)
+    pos = jnp.cumsum(tl.astype(jnp.int32)) - 1
+    keep = tl & (pos < cap_t)
+    inv = jnp.where(keep, pos, -1)
+    (tidx,) = jnp.nonzero(tl, size=cap_t, fill_value=Tq)
+    dropped = jnp.sum(jnp.where(jnp.repeat(tl & ~keep, TILE), mask,
+                                False).astype(jnp.int32))
+    return tidx, inv, dropped, jnp.sum(tl.astype(jnp.int32))
+
+
+def _tile_gather(a, tidx, fill=0):
+    """Gather whole tiles: a (Tq*TILE, ...) -> (cap_t*TILE, ...)."""
+    Tq = a.shape[0] // TILE
+    rest = a.shape[1:]
+    a2 = a.reshape(Tq, -1)
+    out = jnp.take(a2, tidx, axis=0, mode='fill', fill_value=fill)
+    return out.reshape((tidx.shape[0] * TILE,) + rest)
 
 
 class WavefrontTracer(Tracer):
@@ -77,9 +114,10 @@ class WavefrontTracer(Tracer):
 
     # -- static queue layout ----------------------------------------------
 
-    def _plan(self, queue_n: int, level: int):
-        """Child-queue segment layout spawned from a `queue_n`-ray queue
-        at depth `level`: [(key, offset, cap)], total size Q."""
+    def _plan(self, queue_t: int, level: int):
+        """Child-queue segment layout spawned from a `queue_t`-TILE
+        queue at depth `level`: [(key, tile_offset, tile_cap)], total
+        tiles Qt."""
         cc = self.compiled
         cfg = self.config
         s = cfg.secondary_capacity
@@ -88,9 +126,12 @@ class WavefrontTracer(Tracer):
         warp_f = _lvl(cfg.warp_capacity, level, s * 0.5)
 
         def cap(frac):
-            return max(128, min(int(math.ceil(queue_n * frac)), queue_n))
+            # the min_tiles floor makes small renders (few tiles, all
+            # live) structurally lossless regardless of the fraction
+            return max(min(queue_t, cfg.min_tiles), 1,
+                       min(int(math.ceil(queue_t * frac)), queue_t))
 
-        segs = []  # (key, offset, cap)
+        segs = []  # (key, tile_offset, tile_cap)
         off = 0
         if len(self.reflect_texids):
             c = cap(refl_f)
@@ -106,40 +147,53 @@ class WavefrontTracer(Tracer):
             off += c
             segs.append((f"warp_target_{wi}", off, c))
             off += c
-        return segs, max(off, 128)
+        return segs, max(off, 1)
 
-    def _count_overflow(self, overflow, label, mask, cap):
-        """Record rays dropped by one capped compaction (ADVICE r1:
+    def _count_overflow(self, overflow, label, dropped, lossless):
+        """Record rays dropped by one capped tile selection (ADVICE r1:
         capacity undersizing must be detectable, not silent)."""
-        if cap >= mask.shape[0]:
-            return  # structurally lossless
-        n = jnp.sum(mask.astype(jnp.int32))
-        overflow.append(jnp.maximum(n - cap, 0))
+        if lossless:
+            return  # cap >= queue tiles: structurally lossless
+        overflow.append(dropped)
         if label not in self.overflow_labels:
             self.overflow_labels.append(label)
 
+    def _note_occ(self, overflow, label, n_live, Tq):
+        """GLOME_OCC=1: report live-tile counts through the overflow
+        channel (schedule-tuning instrumentation)."""
+        import os
+        if not os.environ.get("GLOME_OCC"):
+            return
+        overflow.append(n_live)
+        lbl = f"occ!{label}/of_{Tq}"
+        if lbl not in self.overflow_labels:
+            self.overflow_labels.append(lbl)
+
     # -- one DOWN level ------------------------------------------------------
 
-    def _down_level(self, arrays, carry, segs, Qn, level, lights,
+    def _down_level(self, arrays, carry, segs, Qt, level, lights,
                     lpos, lcol, lrad, overflow):
         """Intersect + preshade one level's queue; spawn children into a
-        fresh (Qn,)-ray queue laid out by `segs`.  Returns (child carry,
-        stored shading inputs).  Every capped compaction appends its
-        dropped-ray count to `overflow` (labels in overflow_labels)."""
+        fresh (Qt,)-tile queue laid out by `segs`.  Returns (child
+        carry, stored shading inputs).  Every capped tile selection
+        appends its dropped-ray count to `overflow` (labels in
+        overflow_labels)."""
         co, cd, csid, ctmax = carry
         Qc = co.shape[0]
+        Tq = Qc // TILE
         dt = co.dtype
         cc = self.compiled
         hit = intersect_multi(cc, arrays, co, cd, csid, tmax=ctmax)
 
-        # fused per-light shadow batch (preshade, Shader.hs:65-80).
-        # Default: masked full width -- every queue ray gets a slot per
-        # light, inactive rays carry tmax 0 so the megakernel culls
-        # them for free; no compaction, no scatters, structurally
-        # lossless.  A shadow_capacity < 1 switches to the compacted
-        # path (with overflow accounting).
+        # fused per-light shadow batch (preshade, Shader.hs:65-80):
+        # per light, live tiles are kept (capacity 1.0 = lossless) and
+        # inactive lanes inside kept tiles carry tmax 0, which the
+        # kernels cull for free.  shadow_capacity < 1 caps the kept
+        # tiles (with overflow accounting).
         sh_f = _lvl(self.config.shadow_capacity, level, 1.0)
-        sh_cap = max(128, min(int(math.ceil(Qc * sh_f)), Qc))
+        sh_cap = max(min(Tq, self.config.min_tiles), 1,
+                     min(int(math.ceil(Tq * sh_f)), Tq))
+        unitz = jnp.zeros((3,), dt).at[2].set(1.0)
         light_pre = []
         sh_segments = []
         sh_o = vscaleadd(hit.pos, hit.norm, DELTA)
@@ -152,35 +206,33 @@ class WavefrontTracer(Tracer):
             light_pre.append([llen, ldir, active])
             if not l.shadow:
                 continue
-            if sh_cap >= Qc:
-                sh_segments.append((li, None, sh_o, ldir,
-                                    jnp.where(active, llen - 2.0 * DELTA,
-                                              0.0), csid))
-            else:
-                self._count_overflow(overflow, f"L{level}/shadow{li}",
-                                     active, sh_cap)
-                idx = compact_indices(active, sh_cap)
-                sh_segments.append((li, idx, gather(sh_o, idx),
-                                    gather(ldir, idx),
-                                    gather(llen - 2.0 * DELTA, idx),
-                                    jnp.where(idx < Qc,
-                                              gather(csid, idx), -1)))
+            tidx, inv, dropped, n_live = _tile_sel(active, sh_cap)
+            self._note_occ(overflow, f"L{level}/shadow{li}", n_live, Tq)
+            self._count_overflow(overflow, f"L{level}/shadow{li}",
+                                 dropped, sh_cap >= Tq)
+            act_g = _tile_gather(active, tidx)
+            d_g = _tile_gather(ldir, tidx)
+            sh_segments.append((
+                li, inv, sh_cap,
+                _tile_gather(sh_o, tidx),
+                jnp.where(act_g[:, None], d_g, unitz),
+                jnp.where(act_g,
+                          _tile_gather(llen, tidx) - 2.0 * DELTA, 0.0),
+                jnp.where(act_g, _tile_gather(csid, tidx, fill=-1), -1)))
         if sh_segments:
-            so = jnp.concatenate([s[2] for s in sh_segments])
-            sd = jnp.concatenate([s[3] for s in sh_segments])
-            st = jnp.concatenate([s[4] for s in sh_segments])
-            ss = jnp.concatenate([s[5] for s in sh_segments])
-            sd = jnp.where((ss >= 0)[:, None], sd,
-                           jnp.zeros_like(sd).at[:, 2].set(1.0))
-            sb = shadow_query_multi(cc, arrays, so, sd, ss,
-                                    jnp.where(ss >= 0, st, 0.0))
+            so = jnp.concatenate([s[3] for s in sh_segments])
+            sd = jnp.concatenate([s[4] for s in sh_segments])
+            st = jnp.concatenate([s[5] for s in sh_segments])
+            ss = jnp.concatenate([s[6] for s in sh_segments])
+            sb = shadow_query_multi(cc, arrays, so, sd, ss, st)
             offb = 0
-            for li, idx, _o, _d, _t, _s in sh_segments:
-                n_seg = Qc if idx is None else sh_cap
+            for li, inv, cap_t, *_ in sh_segments:
+                n_seg = cap_t * TILE
                 seg = sb[offb:offb + n_seg]
                 offb += n_seg
-                blocked = (seg if idx is None
-                           else scatter(jnp.zeros((Qc,), bool), idx, seg))
+                rows = jnp.take(seg.reshape(cap_t, TILE),
+                                jnp.maximum(inv, 0), axis=0, mode='clip')
+                blocked = rows.reshape(-1) & jnp.repeat(inv >= 0, TILE)
                 light_pre[li][2] = light_pre[li][2] & ~blocked
         if light_pre:
             contrib = jnp.stack(
@@ -196,13 +248,13 @@ class WavefrontTracer(Tracer):
             lactive = jnp.zeros((0, Qc), bool)
 
         # ---- spawn children into the fixed queue segments -----------
-        # each segment is built compacted then the queue is assembled
-        # with ONE concatenate per field (dynamic-update-slices per
-        # segment cost a full queue pass each)
+        # each segment keeps only its live tiles; the queue is
+        # assembled with ONE concatenate per field
         seg_o, seg_d, seg_sid, seg_tmax = [], [], [], []
-        stored_idx = {}
+        stored_inv = {}
+        stored_mask = {}
         stored_extra = {}
-        for key, offq, capq in segs:
+        for key, offt, capt in segs:
             if key == "reflect":
                 mask = hit.hit & self._stack_uses(hit.tex_stack,
                                                   self.reflect_texids)
@@ -243,25 +295,22 @@ class WavefrontTracer(Tracer):
                 ro = jnp.einsum('ij,nj->ni', fwd[:, :3], hit.pos) + fwd[:, 3]
                 rd = vnorm(jnp.einsum('ij,nj->ni', fwd[:, :3], vnorm(cd)))
                 rsid = jnp.full((Qc,), w.target_scene, jnp.int32)
-            self._count_overflow(overflow, f"L{level}/{key}", mask, capq)
-            idx = compact_indices(mask, capq)
-            # inverse map for the UP pass: parent -> its child slot.
-            # TPU scatters cost ~10x a gather at these widths (measured
-            # 14 ms vs 1.5 ms for the 4-segment L0 traffic), so the up
-            # pass gathers child results through this instead of
-            # scattering them back.
-            pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
-            stored_idx[key] = jnp.where(mask & (pos < capq), pos, -1)
-            valid = idx < Qc
-            seg_o.append(gather(ro, idx))
-            ndir = gather(rd, idx)
-            seg_d.append(jnp.where(valid[:, None], ndir,
-                                   jnp.zeros_like(ndir).at[:, 2].set(1.0)))
-            seg_sid.append(jnp.where(valid, gather(rsid, idx), -1))
-            seg_tmax.append(jnp.where(valid, INFINITY, 0.0).astype(dt))
+            tidx, inv, dropped, n_live = _tile_sel(mask, capt)
+            self._note_occ(overflow, f"L{level}/{key}", n_live, Tq)
+            self._count_overflow(overflow, f"L{level}/{key}", dropped,
+                                 capt >= Tq)
+            stored_inv[key] = inv
+            stored_mask[key] = mask
+            mask_g = _tile_gather(mask, tidx)
+            seg_o.append(_tile_gather(ro, tidx))
+            nd = _tile_gather(rd, tidx)
+            seg_d.append(jnp.where(mask_g[:, None], nd, unitz))
+            seg_sid.append(jnp.where(mask_g,
+                                     _tile_gather(rsid, tidx, fill=-1), -1))
+            seg_tmax.append(jnp.where(mask_g, INFINITY, 0.0).astype(dt))
 
-        used = sum(capq for _, _, capq in segs)
-        pad = Qn - used
+        used = sum(capt for _, _, capt in segs)
+        pad = (Qt - used) * TILE
         if pad or not segs:
             seg_o.append(jnp.zeros((pad, 3), dt))
             seg_d.append(jnp.zeros((pad, 3), dt).at[:, 2].set(1.0))
@@ -277,7 +326,7 @@ class WavefrontTracer(Tracer):
             d=cd, tex=hit.tex_stack, tag=hit.tag_stack,
             serial=hit.prim_serial,
             contrib=contrib, ldirs=ldirs, lactive=lactive,
-            idx=stored_idx, extra=stored_extra,
+            inv=stored_inv, mask=stored_mask, extra=stored_extra,
         )
         return (no, nd, nsid, ntmax), stored
 
@@ -288,16 +337,20 @@ class WavefrontTracer(Tracer):
         dt = stored["pos"].dtype
         L = len(lights)
         children = {}
-        for key, offq, capq in segs:
-            slot = stored["idx"][key]            # (Qc,) child slot or -1
-            has = slot >= 0
-            src = offq + jnp.maximum(slot, 0)
-            ccol = jnp.where(has[:, None],
-                             jnp.take(color_next, src, axis=0,
-                                      mode='clip'),
-                             0.0)
-            ct = jnp.where(has,
-                           jnp.take(t_next, src, mode='clip'), INFINITY)
+        # one 5-column (color, t) table per level, read back by TILE
+        # rows: 1-D T(1024) gathers measured ~5x slower than 2-D row
+        # gathers at these widths (tools/PERF_BUDGET.md)
+        ct5 = jnp.concatenate([color_next, t_next[:, None]], axis=-1)
+        ct5t = ct5.reshape(ct5.shape[0] // TILE, TILE * 5)
+        for key, offt, capt in segs:
+            inv = stored["inv"][key]             # (Tq,) kept slot or -1
+            mask = stored["mask"][key]
+            rows = jnp.take(ct5t, offt + jnp.maximum(inv, 0), axis=0,
+                            mode='clip')
+            rows = rows.reshape(-1, 5)
+            has = mask & jnp.repeat(inv >= 0, TILE)
+            ccol = jnp.where(has[:, None], rows[:, :4], 0.0)
+            ct = jnp.where(has, rows[:, 4], INFINITY)
             if key == "reflect":
                 children["reflect"] = ccol
             elif key.startswith("refract_"):
@@ -344,16 +397,24 @@ class WavefrontTracer(Tracer):
 
         lpos, lcol, lrad = _light_arrays(cc, arrays, lights)
 
-        carry = (o, d, jnp.full((N,), scene_id, jnp.int32),
-                 tmax if tmax is not None
-                 else jnp.full((N,), INFINITY, dtype=dt))
+        # pad the root queue to TILE granularity with dead rays
+        Np = (N + TILE - 1) // TILE * TILE
+        if tmax is None:
+            tmax = jnp.full((N,), INFINITY, dtype=dt)
+        if Np != N:
+            pad = Np - N
+            o = jnp.concatenate([o, jnp.zeros((pad, 3), dt)])
+            d = jnp.concatenate(
+                [d, jnp.zeros((pad, 3), dt).at[:, 2].set(1.0)])
+            tmax = jnp.concatenate([tmax, jnp.zeros((pad,), dt)])
+        carry = (o, d, jnp.full((Np,), scene_id, jnp.int32), tmax)
         stored_levels = []
         seg_plans = []
         overflow = []
         self.overflow_labels = []
         for level in range(R):
-            segs, Qn = self._plan(carry[0].shape[0], level)
-            carry, stored = self._down_level(arrays, carry, segs, Qn,
+            segs, Qt = self._plan(carry[0].shape[0] // TILE, level)
+            carry, stored = self._down_level(arrays, carry, segs, Qt,
                                              level, lights,
                                              lpos, lcol, lrad, overflow)
             stored_levels.append(stored)

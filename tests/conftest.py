@@ -23,3 +23,17 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", _plat)
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Fast default profile: tests marked `slow` (the golden render and
+    the full-scene overflow sweeps, ~8 of the suite's 12 CPU minutes)
+    only run with GLOME_SLOW=1.  The verify path sets it."""
+    if os.environ.get("GLOME_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow; set GLOME_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -37,6 +37,7 @@ def _render():
     return np.asarray(rgb), ov
 
 
+@pytest.mark.slow
 def test_golden_testscene_cpu():
     from PIL import Image
     from glome_tpu.io import quantize

@@ -28,6 +28,7 @@ def _render(compiled, arrays, cam, cfg):
     return np.asarray(rgb), r.last_overflow, tracer.overflow_labels
 
 
+@pytest.mark.slow
 def test_tuned_schedule_zero_overflow(scene):
     compiled, arrays, cam = scene
     cfg = RenderConfig.tuned(xres=96, yres=64)
@@ -41,12 +42,14 @@ def test_tuned_schedule_zero_overflow(scene):
     np.testing.assert_allclose(rgb_t, rgb_e, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_overflow_detected_when_capped(scene):
     """Deliberate undersizing must be *reported*, not silent."""
     compiled, arrays, cam = scene
     cfg = RenderConfig(xres=96, yres=64,
                        reflect_capacity=(0.001,),
-                       shadow_capacity=(0.01,))
+                       shadow_capacity=(0.01,),
+                       min_tiles=0)  # disable the small-render floor
     rgb, ov, labels = _render(compiled, arrays, cam, cfg)
     assert ov is not None and np.asarray(ov).sum() > 0
     assert np.isfinite(rgb).all()  # degraded, never crashed

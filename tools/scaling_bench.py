@@ -72,34 +72,53 @@ def measure(n: int) -> float:
         jax.block_until_ready(rgb)
         dts.append(time.time() - t0)
     dts.sort()
-    return dts[len(dts) // 2]
+    return dts[len(dts) // 2], dts[0], dts[-1]
 
 
 def main():
     if "--n" in sys.argv:
         n = int(sys.argv[sys.argv.index("--n") + 1])
-        print(json.dumps({"n": n, "s": measure(n)}))
+        med, lo, hi = measure(n)
+        print(json.dumps({"n": n, "s": med, "lo": lo, "hi": hi}))
         return
     counts = [1, 2, 4, 8]
     results = {}
+    spread = {}
+    # Every virtual-device count runs PINNED TO ONE CORE (taskset):
+    # round 2's unpinned runs measured XLA CPU *threading* differences
+    # (efficiency 1.36-1.92 > 1, non-physical).  On one core with a
+    # fixed global batch the total FLOPs are constant, so ideal
+    # efficiency is exactly 1.0 and any shortfall is sharding overhead
+    # (pjit partitioning, shard copies, psum, padding imbalance).
+    pin = ["taskset", "-c", "0"]
     for n in counts:
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--n", str(n)],
-            capture_output=True, text=True, cwd=REPO, timeout=900)
+            pin + [sys.executable, os.path.abspath(__file__),
+                   "--n", str(n)],
+            capture_output=True, text=True, cwd=REPO, timeout=1800)
         line = out.stdout.strip().splitlines()[-1]
-        results[n] = json.loads(line)["s"]
+        rec = json.loads(line)
+        results[n] = rec["s"]
+        spread[n] = (rec["lo"], rec["hi"])
         print(f"# {n} virtual devices: {results[n]*1e3:.1f} ms "
-              f"({N_RAYS} rays)", file=sys.stderr)
+              f"[{rec['lo']*1e3:.1f}..{rec['hi']*1e3:.1f}] "
+              f"({N_RAYS} rays, 1 core)", file=sys.stderr)
     eff = {n: results[1] / results[n] for n in counts}
     payload = {
-        "mode": "virtual-cpu-fixed-global-batch",
+        "mode": "virtual-cpu-fixed-global-batch-1core",
         "n_rays": N_RAYS,
+        "reps": REPS,
         "devices": counts,
         "ms": [round(results[n] * 1e3, 2) for n in counts],
+        "ms_spread": {str(n): [round(spread[n][0] * 1e3, 2),
+                               round(spread[n][1] * 1e3, 2)]
+                      for n in counts},
         "efficiency_vs_1dev": {str(n): round(eff[n], 3) for n in counts},
-        "note": ("shared physical cores: ideal efficiency is 1.0; the "
-                 "shortfall is sharding/collective overhead, not compute "
-                 "scaling, which needs real multi-chip hardware"),
+        "note": ("all device counts pinned to ONE physical core with a "
+                 "fixed global batch: ideal efficiency is exactly 1.0; "
+                 "the shortfall is sharding/collective overhead.  Real "
+                 "compute scaling needs multi-chip hardware; this "
+                 "harness runs unchanged there."),
     }
     with open(os.path.join(REPO, "SCALING.json"), "w") as f:
         json.dump(payload, f, indent=1)
