@@ -71,10 +71,16 @@ class AARenderer:
         res = self.tracer.trace(arrays, o, d)
         return jnp.concatenate([res.color, res.t[:, None]], axis=-1)
 
-    def _masked_trace(self, arrays, img, mask, xcoord, ycoord, cap):
-        """Trace where mask (tiles, S, S) is set; scatter into img."""
+    def _masked_trace(self, arrays, img, mask, xcoord, ycoord, cap,
+                      counts=None, label=None):
+        """Trace where mask (tiles, S, S) is set; scatter into img.
+        Appends (label, requested-ray count) to `counts` -- the
+        reference cost model's budget (1/8 .. 2 rays/px,
+        /root/reference/README.md:20) is asserted against these."""
         T, S, _ = mask.shape
         flat = mask.reshape(-1)
+        if counts is not None:
+            counts.append((label, jnp.sum(flat.astype(jnp.int32))))
         idx = compact_indices(flat, cap)
         xf = gather(xcoord.reshape(-1), idx)
         yf = gather(ycoord.reshape(-1), idx)
@@ -120,6 +126,7 @@ class AARenderer:
                               + lx[None, :, None]).astype(np.float32)
                              + np.zeros((1, 1, S), np.float32))
 
+        counts = []
         img = jnp.zeros((T, S, S, 5), jnp.float32).at[..., 4].set(INFINITY)
         xl = jnp.asarray(lx[None, None, :], jnp.int32) + jnp.zeros(
             (T, S, 1), jnp.int32)
@@ -132,25 +139,29 @@ class AARenderer:
         # pass 1: even grid, (x+y) % 4 == 0
         m1 = even & ((xl + yl) % 4 == 0)
         img = self._masked_trace(arrays, img, m1, xcoord, ycoord,
-                                 cap=_cap(n_pix, 8))
+                                 cap=_cap(n_pix, 8), counts=counts,
+                                 label="pass1")
 
         # pass 2: even grid, (x+y) % 4 == 2 -- trace-or-interpolate
         m2 = even & ((xl + yl) % 4 == 2)
         a, b, c, d = self._neighbors(img, [(-2, 0), (0, 2), (2, 0), (0, -2)])
         img = self._decide_pass(arrays, img, m2, a, b, c, d, th1,
-                                xcoord, ycoord, _cap(n_pix, 8))
+                                xcoord, ycoord, _cap(n_pix, 8),
+                                counts, "pass2")
 
         # pass 3: odd diagonal pixels vs diagonal neighbors
         m3 = (xl % 2 == 1) & (yl % 2 == 1)
         a, b, c, d = self._neighbors(img, [(-1, -1), (1, -1), (1, 1), (-1, 1)])
         img = self._decide_pass(arrays, img, m3, a, b, c, d, th2,
-                                xcoord, ycoord, _cap(n_pix, 4))
+                                xcoord, ycoord, _cap(n_pix, 4),
+                                counts, "pass3")
 
         # pass 4: remaining odd pixels vs axis neighbors
         m4 = (xl + yl) % 2 == 1
         a, b, c, d = self._neighbors(img, [(-1, 0), (0, 1), (1, 0), (0, -1)])
         img = self._decide_pass(arrays, img, m4, a, b, c, d, th3,
-                                xcoord, ycoord, _cap(n_pix, 2))
+                                xcoord, ycoord, _cap(n_pix, 2),
+                                counts, "pass4")
 
         # pass 5: supersample at pixel corners and average (Glome.hs:299-321)
         a = img
@@ -160,7 +171,8 @@ class AARenderer:
         corner = _cavg(a, b, c, d)
         corner = self._masked_trace(arrays, corner, need,
                                     xcoord + 0.5, ycoord + 0.5,
-                                    cap=_cap(n_pix, 2))
+                                    cap=_cap(n_pix, 2), counts=counts,
+                                    label="pass5")
         last = S - 1
         cell = jnp.where((xl == last)[..., None],
                          jnp.where((yl == last)[..., None], corner,
@@ -175,19 +187,25 @@ class AARenderer:
         frame = frame.reshape(ty * S, tx * S, 5)
         frame = frame[:cfg.yres, :cfg.xres]
         rgb = frame[..., :3] * frame[..., 3:4]
-        return jnp.clip(rgb, 0.0, 1.0), frame[..., 4]
+        return (jnp.clip(rgb, 0.0, 1.0), frame[..., 4],
+                {k: v for k, v in counts})
 
     def _decide_pass(self, arrays, img, mask, a, b, c, d, threshold,
-                     xcoord, ycoord, cap):
+                     xcoord, ycoord, cap, counts=None, label=None):
         variance = jnp.maximum(_ccmp(a, c), _ccmp(b, d))
         need = mask & (variance > threshold)
         interp = _cavg(a, b, c, d)
         img = jnp.where((mask & ~need)[..., None], interp, img)
-        return self._masked_trace(arrays, img, need, xcoord, ycoord, cap)
+        return self._masked_trace(arrays, img, need, xcoord, ycoord, cap,
+                                  counts=counts, label=label)
 
     def render(self, arrays):
-        """Full adaptive-AA frame: returns ((H, W, 3) rgb, (H, W) depth)."""
-        return self._jit(arrays)
+        """Full adaptive-AA frame: returns ((H, W, 3) rgb, (H, W)
+        depth).  Per-pass requested-ray counts (the reference's
+        1/8..2 rays/px cost model) land in self.last_ray_counts."""
+        rgb, depth, counts = self._jit(arrays)
+        self.last_ray_counts = {k: int(v) for k, v in counts.items()}
+        return rgb, depth
 
 
 def _cap(n_pix, frac_div):

@@ -17,17 +17,37 @@ from glome_tpu.config import RenderConfig
 from glome_tpu.render import Renderer
 from glome_tpu.io import write_png
 
-solid, lights, cam = test_scene()
-compiled = G.compile_scene(solid, lights)
-cfg = RenderConfig.tuned(xres=180, yres=120)
-tracer = G.WavefrontTracer(compiled, cfg)
-renderer = Renderer(tracer, cam, cfg)
-rgb, depth = renderer.render(compiled.arrays())
-ov = getattr(renderer, "last_overflow", None)
-if ov is not None:
-    assert int(np.asarray(ov).sum()) == 0, np.asarray(ov)
-out = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
-                   "testscene_180x120_cpu.png")
-os.makedirs(os.path.dirname(out), exist_ok=True)
-write_png(out, np.asarray(rgb))
-print("wrote", out)
+def regen_main():
+    solid, lights, cam = test_scene()
+    compiled = G.compile_scene(solid, lights)
+    cfg = RenderConfig.tuned(xres=180, yres=120)
+    tracer = G.WavefrontTracer(compiled, cfg)
+    renderer = Renderer(tracer, cam, cfg)
+    rgb, depth = renderer.render(compiled.arrays())
+    ov = getattr(renderer, "last_overflow", None)
+    if ov is not None:
+        assert int(np.asarray(ov).sum()) == 0, np.asarray(ov)
+    out = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
+                       "testscene_180x120_cpu.png")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    write_png(out, np.asarray(rgb))
+    print("wrote", out)
+
+
+def regen_aa():
+    """Regenerate the 64x64 adaptive-AA golden (tests/test_aa.py)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tests"))
+    from test_aa import _scene, _render
+    solid, lights, cam = _scene()
+    rgb, _counts = _render(solid, lights, cam)
+    out = os.path.join(os.path.dirname(__file__), "..", "tests",
+                       "golden", "aa_64.npy")
+    np.save(out, np.asarray(rgb))
+    print("wrote", out)
+
+
+if "--aa" in sys.argv:
+    regen_aa()
+else:
+    regen_main()
