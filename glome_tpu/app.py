@@ -34,6 +34,11 @@ def main(argv=None):
                    help="adaptive subsample/supersample antialiasing")
     p.add_argument("--pick", type=int, nargs=2, metavar=("X", "Y"),
                    help="print the tag stack for the object at pixel X,Y")
+    p.add_argument("--debug-full", action="store_true",
+                   help="like --debug but through the FULL trace: "
+                        "shadow + child-ray work per level ascends to "
+                        "the primary pixel (trace_debug parity, "
+                        "Trace.hs:86-109)")
     p.add_argument("--debug", action="store_true",
                    help="render the rayint_debug work map instead of "
                         "color: prims tested -> red, BVH nodes -> green "
@@ -82,11 +87,13 @@ def main(argv=None):
         tracer = G.Tracer(compiled, cfg)
     print(f"scene setup: {time.time()-t0:.3f}s")
 
-    if args.debug:
+    if args.debug or args.debug_full:
         from glome_tpu.debug import debug_image
         t0 = time.time()
         img, prims, nodes = debug_image(compiled, arrays, cam,
-                                        args.xres, args.yres)
+                                        args.xres, args.yres,
+                                        full=args.debug_full,
+                                        recurs=cfg.maxdepth)
         print(f"debug render: {time.time()-t0:.3f}s; per-ray prims "
               f"mean {prims.mean():.1f} max {prims.max():.0f}, nodes "
               f"mean {nodes.mean():.1f} max {nodes.max():.0f}")

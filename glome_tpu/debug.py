@@ -127,8 +127,91 @@ def _bvh_counts(sc, garrs, gi, o, d, tile):
     return pc.reshape(-1)[:N], nc.reshape(-1)[:N]
 
 
+def trace_debug_counts(compiled, arrays, o, d, recurs: int = 3,
+                       config=None, scene_id: int = 0):
+    """Full-trace work counters (trace_debug parity, Trace.hs:86-109):
+    per PRIMARY ray, the intersection work of its whole bounce tree --
+    each level queue's rayint work, each level's per-light shadow-ray
+    work, and the children's subtree counts ascending to their parents
+    through the wavefront queue maps exactly like colors do.
+
+    Returns (prims, nodes): (N,) int32."""
+    from .config import DELTA, RenderConfig
+    from .trace import _light_arrays
+    from .trace_wavefront import TILE, WavefrontTracer
+    from .vec import vdot, vscaleadd
+
+    cfg = config or RenderConfig(maxdepth=recurs)
+    tracer = WavefrontTracer(compiled, cfg)
+    lights = compiled.lights
+    lpos, lcol, lrad = _light_arrays(compiled, arrays, lights)
+    N = o.shape[0]
+    dt = o.dtype
+    R = max(recurs, 1)
+
+    Np = (N + TILE - 1) // TILE * TILE
+    tmax = jnp.full((N,), INFINITY, dtype=dt)
+    if Np != N:
+        pad = Np - N
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), dt)])
+        d = jnp.concatenate([d, jnp.zeros((pad, 3), dt).at[:, 2].set(1.0)])
+        tmax = jnp.concatenate([tmax, jnp.zeros((pad,), dt)])
+    carry = (o, d, jnp.full((Np,), scene_id, jnp.int32), tmax)
+
+    levels = []
+    overflow = []
+    tracer.overflow_labels = []
+    for level in range(R):
+        co, cd, csid, ctmax = carry
+        segs, Qt = tracer._plan(co.shape[0] // TILE, level)
+        carry, stored = tracer._down_level(arrays, carry, segs, Qt,
+                                           level, lights, lpos, lcol,
+                                           lrad, overflow)
+        # own-queue rayint work (charged only to live rays)
+        live = ctmax > 0.0
+        qp, qn = ray_debug_counts(compiled, arrays, co, cd, scene_id)
+        qp = jnp.where(live, qp, 0)
+        qn = jnp.where(live, qn, 0)
+        # per-light shadow rayint work (reconstructed preshade rays,
+        # Shader.hs:65-80), charged to active shadow lanes
+        sh_o = vscaleadd(stored["pos"], stored["norm"], DELTA)
+        for li, l in enumerate(lights):
+            if not l.shadow:
+                continue
+            ldir = stored["ldirs"][li]
+            lvec = lpos[li] - stored["pos"]
+            llen = jnp.sqrt(vdot(lvec, lvec))
+            active = (stored["hitmask"]
+                      & (vdot(lvec, stored["norm"]) >= 0.0)
+                      & (llen <= lrad[li]))
+            sp, sn = ray_debug_counts(compiled, arrays, sh_o, ldir,
+                                      scene_id)
+            qp = qp + jnp.where(active, sp, 0)
+            qn = qn + jnp.where(active, sn, 0)
+        levels.append((segs, stored, qp, qn))
+
+    # ascend: children's subtree counts flow to parents like colors
+    Qdeep = carry[0].shape[0]
+    up_p = jnp.zeros((Qdeep,), jnp.int32)
+    up_n = jnp.zeros((Qdeep,), jnp.int32)
+    for segs, stored, qp, qn in reversed(levels):
+        tot_p, tot_n = qp, qn
+        cn2 = jnp.stack([up_p, up_n], axis=-1)
+        cn2t = cn2.reshape(cn2.shape[0] // TILE, TILE * 2)
+        for key, offt, capt in segs:
+            inv = stored["inv"][key]
+            mask = stored["mask"][key]
+            rows = jnp.take(cn2t, offt + jnp.maximum(inv, 0), axis=0,
+                            mode='clip').reshape(-1, 2)
+            has = mask & jnp.repeat(inv >= 0, TILE)
+            tot_p = tot_p + jnp.where(has, rows[:, 0], 0)
+            tot_n = tot_n + jnp.where(has, rows[:, 1], 0)
+        up_p, up_n = tot_p, tot_n
+    return up_p[:N], up_n[:N]
+
+
 def debug_image(compiled, arrays, cam, xres: int, yres: int,
-                scene_id: int = 0):
+                scene_id: int = 0, full: bool = False, recurs: int = 3):
     """(H, W, 3) false-color work map: prims -> red, nodes -> green,
     normalized to the 99th percentile (Glome.hs:57-62 spirit)."""
     from .render import Renderer, tile_order
@@ -142,8 +225,12 @@ def debug_image(compiled, arrays, cam, xres: int, yres: int,
     inv[perm] = np.arange(perm.size)
     o, d = r.rays_for_pixels(xs.reshape(-1)[perm].astype(np.float32),
                              ys.reshape(-1)[perm].astype(np.float32))
-    fn = jax.jit(lambda a, o_, d_: ray_debug_counts(compiled, a, o_, d_,
-                                                    scene_id))
+    if full:
+        fn = jax.jit(lambda a, o_, d_: trace_debug_counts(
+            compiled, a, o_, d_, recurs=recurs, scene_id=scene_id))
+    else:
+        fn = jax.jit(lambda a, o_, d_: ray_debug_counts(
+            compiled, a, o_, d_, scene_id))
     prims, nodes = fn(arrays, o, d)
     prims = np.asarray(prims)[inv].reshape(yres, xres).astype(np.float64)
     nodes = np.asarray(nodes)[inv].reshape(yres, xres).astype(np.float64)

@@ -55,3 +55,39 @@ def test_debug_image_runs():
     assert img.shape == (24, 32, 3)
     assert np.all((img >= 0) & (img <= 1))
     assert prims.max() > 0
+
+
+def test_trace_debug_full_trace():
+    """trace_debug parity (Trace.hs:86-109): the full-trace counters
+    include shadow and child-ray work, so a lit reflective pixel costs
+    strictly more than its primary-only rayint count, and deeper
+    recursion never costs less."""
+    from glome_tpu.debug import trace_debug_counts
+    from glome_tpu.materials import Reflect, light
+    mirror = Uniform(Reflect())
+    matte = Uniform(Surface(color=(0.5, 0.5, 0.5), ambient=0.1, kd=0.9))
+    scene = G.group([
+        G.tex(G.sphere((0.0, 0.0, 0.0), 1.0), mirror),
+        G.tex(G.plane((0.0, -1.5, 0.0), (0.0, 1.0, 0.0)), matte),
+    ])
+    # camera-side light so the front hit point faces it (preshade
+    # culls back-facing lights, Shader.hs:70-80)
+    lights = [light((3.0, 4.0, -6.0), (1.0, 1.0, 1.0))]
+    compiled = G.compile_scene(scene, lights)
+    arrays = compiled.arrays()
+    # ray 0 hits the mirror sphere (shadow + reflection child);
+    # ray 1 misses everything but the floor far away
+    o = jnp.asarray([[0, 0, -4], [50, 0.5, -4]], jnp.float32)
+    d = jnp.asarray([[0, 0, 1], [0, 0, 1]], jnp.float32)
+    p0, n0 = ray_debug_counts(compiled, arrays, o, d)
+    def fn(r):
+        return jax.jit(lambda a, o_, d_: trace_debug_counts(
+            compiled, a, o_, d_, recurs=r))
+    p1, _ = fn(1)(arrays, o, d)
+    p2, _ = fn(2)(arrays, o, d)
+    p3, _ = fn(3)(arrays, o, d)
+    # full trace strictly exceeds primary-only on the hit pixel
+    assert int(p1[0]) > int(p0[0])
+    # deeper recursion monotonically adds child work
+    assert int(p2[0]) > int(p1[0])
+    assert int(p3[0]) >= int(p2[0])
