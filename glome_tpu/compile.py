@@ -121,6 +121,11 @@ class CsgObject:
     # (one candidate per ray per object) instead of per-member surface
     # candidates with membership scans.
     convex: bool = False
+    # sibling DNF regions (non-conjunctive CSG, Csg.hs:14-15): each
+    # entry is a sibling conjunction's clause list; a candidate of this
+    # object is valid only when NOT strictly inside every sibling
+    # region (union interior surfaces are not boundary)
+    excl: List[List[CsgClause]] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -277,44 +282,84 @@ def _rewrap(wrapper: S.Solid, item: S.Solid) -> S.Solid:
     raise TypeError(type(wrapper))
 
 
-def flatten_csg(node: S.Solid, neg: bool = False):
-    """Normalize an arbitrarily nested CSG tree to the flat conjunctive
-    clause form: returns [(positive, [solid items])] where point
-    membership = AND over clauses of (inside any item) == positive.
-    Clause 0 is always positive (the leftmost positive-descent leaf),
-    which the useatex retexture path relies on."""
+# guards the DNF product blow-up (each disjunct duplicates its shared
+# members' prim records)
+DNF_MAX_DISJUNCTS = 16
+
+
+def flatten_csg_dnf(node: S.Solid, neg: bool = False):
+    """Normalize an arbitrarily nested CSG tree to disjunctive normal
+    form: returns [conjunction, ...] where each conjunction is
+    [(positive, [solid items])] and point membership = OR over
+    conjunctions of (AND over clauses of (inside any item) == positive).
+
+    Conjunctive trees (the common case) yield exactly one conjunction;
+    the non-conjunctive forms the reference composes recursively
+    (Csg.hs:14-15, 33-101) -- A-(B&C), A-(B-C), unions containing CSG
+    as members -- expand by De Morgan:
+
+      NOT-IN(a & b)  = NOT-IN(a) | NOT-IN(b)
+      NOT-IN(a & !b) = NOT-IN(a) | IN(b)
+      IN(a | (b&c))  = IN(a) | (IN(b) & IN(c))
+
+    Each conjunction's clause 0 is positive when one exists (the
+    leftmost positive-descent leaf), which the useatex retexture path
+    relies on in the single-conjunction case."""
+    def product(dnfs):
+        out = [[]]
+        for dnf in dnfs:
+            out = [acc + conj for acc in out for conj in dnf]
+            if len(out) > DNF_MAX_DISJUNCTS:
+                raise NotImplementedError(
+                    f"CSG DNF expansion exceeds {DNF_MAX_DISJUNCTS} "
+                    "disjuncts; restructure the scene")
+        return out
+
     if isinstance(node, S.Difference):
         if neg:
-            raise NotImplementedError(
-                "a difference inside the subtracted side of another CSG "
-                "is not conjunctive (NOT-IN(a & !b) = !a | b); "
-                "restructure the scene")
-        return flatten_csg(node.a) + flatten_csg(node.b, neg=True)
+            # NOT-IN(a & !b) = NOT-IN(a) | IN(b)
+            return (flatten_csg_dnf(node.a, neg=True)
+                    + flatten_csg_dnf(node.b, neg=False))
+        return product([flatten_csg_dnf(node.a),
+                        flatten_csg_dnf(node.b, neg=True)])
     if isinstance(node, S.Intersection):
         if neg:
-            raise NotImplementedError(
-                "an intersection inside the subtracted side of another "
-                "CSG is not conjunctive (NOT-IN(a & b) = !a | !b); "
-                "restructure the scene")
-        out = []
-        for it in node.items:
-            out.extend(flatten_csg(it))
-        return out
+            # NOT-IN(a & b) = NOT-IN(a) | NOT-IN(b)
+            out = []
+            for it in node.items:
+                out.extend(flatten_csg_dnf(it, neg=True))
+            return out
+        return product([flatten_csg_dnf(it) for it in node.items])
     if isinstance(node, (S.Instance, S.Tex, S.Tag, S.NoShadow,
                          S.OnlyShadow, S.Bound)) and _contains_csg(node):
-        return [(pos, [_rewrap(node, it) for it in items])
-                for pos, items in flatten_csg(node.item, neg)]
+        return [[(pos, [_rewrap(node, it) for it in items])
+                 for pos, items in conj]
+                for conj in flatten_csg_dnf(node.item, neg)]
     if isinstance(node, (S.Group, S.BihMarker)) and _contains_csg(node):
         if not neg:
-            raise NotImplementedError(
-                "a union containing a CSG, used as a member of another "
-                "CSG, is not conjunctive (IN(a | (b & c))); restructure "
-                "the scene")
-        out = []
-        for it in node.items:
-            out.extend(flatten_csg(it, neg=True))
-        return out
-    return [(not neg, [node])]
+            # IN(a | (b & c)) = IN(a) | (IN(b) & IN(c)); all plain
+            # (CSG-free) items stay ONE disjunct's single clause, since
+            # a clause set is already a disjunction over its items
+            plain = [it for it in node.items if not _contains_csg(it)]
+            out = [[(True, plain)]] if plain else []
+            for it in node.items:
+                if _contains_csg(it):
+                    out.extend(flatten_csg_dnf(it, neg=False))
+            return out
+        # NOT-IN(a | b) = NOT-IN(a) & NOT-IN(b)
+        return product([flatten_csg_dnf(it, neg=True)
+                        for it in node.items])
+    return [[(not neg, [node])]]
+
+
+def flatten_csg(node: S.Solid, neg: bool = False):
+    """Single-conjunction flattening (see flatten_csg_dnf); raises when
+    the tree is not conjunctive."""
+    dnf = flatten_csg_dnf(node, neg)
+    if len(dnf) != 1:
+        raise NotImplementedError(
+            "CSG tree is not conjunctive; use flatten_csg_dnf")
+    return dnf[0]
 
 
 @dataclasses.dataclass
@@ -354,12 +399,26 @@ class _PrimRecord:
         self.onlyshadow = ctx.onlyshadow
 
 
+@dataclasses.dataclass
+class _CsgBuild:
+    """One conjunction during compilation: clause member serial lists +
+    signs.  `excl` lists SIBLING conjunctions of the same DNF (pairs of
+    (clause_serials, signs) referencing the siblings' live lists): a
+    candidate surface point of this conjunction is only on the union's
+    boundary when it is NOT interior to any sibling region."""
+    kind: str
+    useatex: bool
+    clause_serials: List[List[int]]
+    signs: List[bool]
+    excl: List[Tuple[List[List[int]], List[bool]]] = dataclasses.field(
+        default_factory=list)
+
+
 class _SceneBuild:
     def __init__(self):
         self.prims: List[_PrimRecord] = []
-        self.csgs: List[Tuple[str, bool, List[List[int]], List[bool]]] = []
+        self.csgs: List[_CsgBuild] = []
         self.convex_cids: set = set()
-        # each csg: (kind, useatex, clause member serial lists, clause signs)
         # pre-built shared-vertex mesh groups (bulk path, _walk_mesh)
         self.mesh_groups: List[PrimGroup] = []
 
@@ -454,7 +513,7 @@ class Compiler:
         build.prims.append(rec)
         if ctx.csg is not None:
             cid, clause = ctx.csg
-            build.csgs[cid][2][clause].append(rec.serial)
+            build.csgs[cid].clause_serials[clause].append(rec.serial)
         return rec
 
     def _walk(self, build: _SceneBuild, node: S.Solid, ctx: _Ctx):
@@ -592,19 +651,35 @@ class Compiler:
                 # would mean a normalization bug
                 raise NotImplementedError(
                     "CSG reached inside another CSG's clause member")
-            clauses = flatten_csg(node)
+            dnf = flatten_csg_dnf(node)
             kind = ("difference" if isinstance(node, S.Difference)
                     else "intersection")
             useatex = isinstance(node, S.Difference) and node.useatex
-            cid = len(build.csgs)
-            build.csgs.append((kind, useatex, [[] for _ in clauses],
-                               [p for p, _ in clauses]))
+            # useatex retexture works per DISJUNCT: every product
+            # conjunction keeps its positive A clause first, so a
+            # negative-clause surface finds its containing A member in
+            # its own conjunction (Csg.hs:39-41)
             base = dataclasses.replace(ctx, csg_outer_texs=len(ctx.texs),
                                        csg_outer_tags=len(ctx.tags))
-            for i, (_pos, items) in enumerate(clauses):
-                for it in items:
-                    self._walk(build, it,
-                               dataclasses.replace(base, csg=(cid, i)))
+            cids = []
+            for clauses in dnf:
+                cid = len(build.csgs)
+                cids.append(cid)
+                build.csgs.append(_CsgBuild(
+                    kind, useatex, [[] for _ in clauses],
+                    [p for p, _ in clauses]))
+                for i, (_pos, items) in enumerate(clauses):
+                    for it in items:
+                        self._walk(build, it,
+                                   dataclasses.replace(base, csg=(cid, i)))
+            if len(cids) > 1:
+                # sibling exclusion: reference the siblings' LIVE serial
+                # lists (filled by the walks above)
+                for cd in cids:
+                    build.csgs[cd].excl = [
+                        (build.csgs[ce].clause_serials,
+                         build.csgs[ce].signs)
+                        for ce in cids if ce != cd]
             return
         raise TypeError(f"unknown solid {type(node)}")
 
@@ -809,8 +884,13 @@ class Compiler:
         sphere (TestScene.hs:191-193)."""
         by_serial = {r.serial: r for r in build.prims}
         dropped = set()
-        for cid, (kind, useatex, clause_serials, signs) in enumerate(build.csgs):
+        for cid, cb in enumerate(build.csgs):
+            kind, clause_serials = cb.kind, cb.clause_serials
             if kind != "difference" or len(clause_serials) != 2:
+                continue
+            if cb.excl:
+                # DNF siblings reference these serial lists; member
+                # surfaces also serve the union boundary -- skip
                 continue
             b_recs = [by_serial[s] for s in clause_serials[1]]
             b_bounds = [self._record_bounds(r) for r in b_recs]
@@ -854,9 +934,10 @@ class Compiler:
         convex members, evaluated in closed form."""
         by_serial = {r.serial: r for r in build.prims}
         out = set()
-        for cid, (kind, useatex, clause_serials, signs) in \
-                enumerate(build.csgs):
-            if kind != "intersection" or not clause_serials:
+        for cid, cb in enumerate(build.csgs):
+            kind, clause_serials, signs = (cb.kind, cb.clause_serials,
+                                           cb.signs)
+            if kind != "intersection" or not clause_serials or cb.excl:
                 continue
             if not all(signs):
                 continue
@@ -893,11 +974,14 @@ class Compiler:
             return ("plain", None)
         if rec.csg_id in build.convex_cids:
             return ("convex", rec.csg_id)
-        kind, useatex, clause_serials, signs = build.csgs[rec.csg_id]
+        cb = build.csgs[rec.csg_id]
+        if cb.excl:
+            # sibling-exclusion scans only run on the deferred path
+            return ("deferred", None)
         own = rec.clause_id
-        other_total = sum(len(s) for ci, s in enumerate(clause_serials)
-                          if ci != own)
-        if signs[own] and other_total <= CHEAP_CONSTRAINTS_MAX:
+        other_total = sum(len(s) for ci, s in
+                          enumerate(cb.clause_serials) if ci != own)
+        if cb.signs[own] and other_total <= CHEAP_CONSTRAINTS_MAX:
             return ("inline", (rec.csg_id, own))
         return ("deferred", None)
 
@@ -956,8 +1040,9 @@ class Compiler:
                 glist.append(g)
                 group_builds.append((build, g, [], ("plain", None)))
             csgs = []
-            for kind, useatex, clause_serials, signs in build.csgs:
-                clauses = []
+
+            def pack_clauses(clause_serials, signs):
+                out = []
                 for serials, positive in zip(clause_serials, signs):
                     bygroup: Dict[int, List[int]] = {}
                     for s0 in serials:
@@ -965,9 +1050,15 @@ class Compiler:
                         bygroup.setdefault(gi, []).append(li)
                     members = [(gi, np.asarray(lis, dtype=np.int32))
                                for gi, lis in sorted(bygroup.items())]
-                    clauses.append(CsgClause(positive, members, list(serials)))
-                csgs.append(CsgObject(clauses, useatex, kind,
-                                      convex=(len(csgs) in build.convex_cids)))
+                    out.append(CsgClause(positive, members, list(serials)))
+                return out
+
+            for cb in build.csgs:
+                csgs.append(CsgObject(
+                    pack_clauses(cb.clause_serials, cb.signs),
+                    cb.useatex, cb.kind,
+                    convex=(len(csgs) in build.convex_cids),
+                    excl=[pack_clauses(cs, sg) for cs, sg in cb.excl]))
             packed_scenes.append(PackedScene(glist, csgs))
 
         # resolve inline CSG constraints now that every prim has a home,
@@ -976,7 +1067,8 @@ class Compiler:
         for build, g, recs, vkey in group_builds:
             if vkey[0] == "inline":
                 cid, own = vkey[1]
-                kind, useatex, clause_serials, signs = build.csgs[cid]
+                cb = build.csgs[cid]
+                clause_serials, signs = cb.clause_serials, cb.signs
                 cons = []
                 for ci, serials in enumerate(clause_serials):
                     if ci == own:

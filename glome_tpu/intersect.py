@@ -742,6 +742,27 @@ def _deferred_group(sc, garrs, gi, o, d, tmax, shadow: bool,
                         ok = inn == clause.positive
                         okay0 = okay0.at[:, need].set(okay0[:, need] & ok[:, :, 0])
                         okay1 = okay1.at[:, need].set(okay1[:, need] & ok[:, :, 1])
+                    # sibling DNF regions (non-conjunctive CSG): a
+                    # candidate is a UNION boundary iff union
+                    # membership flips across it -- evaluated at
+                    # delta-nudged points, because exact surface points
+                    # of a member duplicated across disjuncts make
+                    # strict inside tests coin flips (the reference's
+                    # own delta-advance style, Csg.hs:38-54)
+                    if csg.excl:
+                        dx = d[:, None, :] * DELTA
+                        pts = jnp.stack([x0 - dx, x0 + dx,
+                                         x1 - dx, x1 + dx], axis=2)
+                        u = None
+                        for conj in [csg.clauses] + list(csg.excl):
+                            rin = None
+                            for clause in conj:
+                                inn = (clause_in(sc, garrs, clause, pts)
+                                       == clause.positive)
+                                rin = inn if rin is None else rin & inn
+                            u = rin if u is None else u | rin
+                        okay0 = okay0 & (u[:, :, 0] != u[:, :, 1])
+                        okay1 = okay1 & (u[:, :, 2] != u[:, :, 3])
                     # negative-clause rows: only exit candidates, and the
                     # ray must actually leave the clause set
                     for ci, clause in enumerate(csg.clauses):

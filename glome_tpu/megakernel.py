@@ -138,6 +138,10 @@ class Phase:
     gprim: int = -1
     neg: bool = False
     own: Optional[List[ConsMember]] = None
+    # sibling DNF regions (non-conjunctive CSG): candidates strictly
+    # inside any region are union-interior, not boundary.  Each region
+    # is a clause list in eval_cons form: [(sign, [ConsMember])]
+    regions: Optional[list] = None
     # index into `cons` of the difference's A clause when this prim is
     # a difference-B surface with useatex (retexture, Csg.hs:39-41):
     # the kernel tracks the first containing A member during the
@@ -213,7 +217,10 @@ def _restrict_members(sc, bounds_cache, members, prim_bb, prim_group,
         if sphere_prim and g.ptype == "sphere" and g.m_inv is None:
             c = np.asarray(g.params["center"], np.float64)[idx]
             r = np.asarray(g.params["radius"], np.float64)[idx]
-            shell = np.abs(np.linalg.norm(c - C, axis=-1) - R) <= r + 1e-6
+            # slack covers the delta-nudged sample points (exit checks
+            # and DNF region flip tests probe p +- DELTA*d)
+            shell = (np.abs(np.linalg.norm(c - C, axis=-1) - R)
+                     <= r + 2 * DELTA + 1e-6)
             sel = sel & shell
         keep = idx[sel].astype(np.int32)
         if len(keep):
@@ -380,12 +387,28 @@ def build_plan(compiled) -> MegaPlan:
                         cons.append((clause.positive, cons_members(mm)))
                     own = (cons_members(csg.clauses[own_ci].members)
                            if neg else None)
+                    regions = None
+                    if csg.excl:
+                        # region list = [own conjunction] + siblings,
+                        # restricted against the prim's delta-inflated
+                        # bbox (the flip test samples p +- DELTA*d)
+                        infl = (bmin[li] - 2 * DELTA, bmax[li] + 2 * DELTA)
+                        regions = []
+                        for reg in [csg.clauses] + list(csg.excl):
+                            entries = []
+                            for clause in reg:
+                                mm = _restrict_members(
+                                    sc, bounds_cache, clause.members,
+                                    infl, gi, li)
+                                entries.append((clause.positive,
+                                                cons_members(mm)))
+                            regions.append(entries)
                     deferred_phases.append(Phase(
                         "deferred", si, gi=gi, ptype=g.ptype,
                         transformed=g.m_inv is not None,
                         pf_base=base + li * F, F=F,
                         gprim=prim_base[(si, gi)][0] + li,
-                        neg=neg, cons=cons, own=own,
+                        neg=neg, cons=cons, own=own, regions=regions,
                         atex_clause=atex_clause,
                         vis=(not bool(g.onlyshadow[li]),
                              not bool(g.noshadow[li]))))
@@ -1070,6 +1093,22 @@ def mega_select(plan: MegaPlan, pf, bb, o, d, seed_t, sid=None,
                         okc = okc & inn_ok
                     else:
                         okc = eval_cons(ph.cons, px, py, pz, vm)
+                    if ph.regions:
+                        # DNF boundary test: the union (own region OR
+                        # siblings) must FLIP across the candidate --
+                        # sampled at p +- DELTA*d, robust to members
+                        # duplicated across disjuncts (Csg.hs:38-54
+                        # delta-advance style)
+                        um = jnp.zeros_like(vm)
+                        up = jnp.zeros_like(vm)
+                        for reg in ph.regions:
+                            um = um | eval_cons(
+                                reg, px - dx * DELTA, py - dy * DELTA,
+                                pz - dz * DELTA, vm)
+                            up = up | eval_cons(
+                                reg, px + dx * DELTA, py + dy * DELTA,
+                                pz + dz * DELTA, vm)
+                        okc = okc & (um != up)
                     if which == 1 and ph.neg:
                         # ray must actually leave the clause set
                         still = eval_cons(

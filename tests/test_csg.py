@@ -223,7 +223,14 @@ def _in_sphere(c, r):
 
 
 def _sweep_vs_oracle(solid, inside_fn, seed=0, n=64):
-    """Random ray sweep: engine nearest-hit == oracle first crossing."""
+    """Random ray sweep: engine nearest-hit == oracle first crossing.
+
+    Origins INSIDE the region are skipped: the reference advances past
+    subtracted-cavity entry walls seen from within the solid
+    (rayint_advance, Csg.hs:43,52) and reports the far wall, so the
+    naive membership-flip oracle only matches for outside origins.
+    test_inside_origin_cavity_semantics pins the inside-origin
+    behavior directly against the reference's case analysis."""
     rng = np.random.default_rng(seed)
     o = rng.normal(0, 3.0, (n, 3))
     at = rng.normal(0, 0.6, (n, 3))
@@ -233,6 +240,8 @@ def _sweep_vs_oracle(solid, inside_fn, seed=0, n=64):
     t = np.asarray(h.t)
     hit = np.asarray(h.hit)
     for i in range(n):
+        if inside_fn(o[i][None])[0]:
+            continue
         want = _march_oracle(inside_fn, o[i], d[i])
         if want is None:
             assert not hit[i], f"ray {i}: engine hit {t[i]}, oracle miss"
@@ -291,14 +300,82 @@ def test_nested_csg_under_instance():
     _sweep_vs_oracle(solid, lambda p: in1(p) & in2(p) & ~in3(p), seed=3)
 
 
-def test_nonconjunctive_nesting_raises():
-    import pytest
-    a, b, c = (G.sphere((0, 0, 0), 1.0), G.sphere((0.5, 0, 0), 1.0),
-               G.sphere((-0.5, 0, 0), 1.0))
-    with pytest.raises(NotImplementedError):
-        G.compile_scene(G.difference(a, G.intersection([b, c])), ())
-    with pytest.raises(NotImplementedError):
-        G.compile_scene(G.difference(a, G.difference(b, c)), ())
-    with pytest.raises(NotImplementedError):
-        G.compile_scene(
-            G.intersection([G.group([G.difference(a, b), c]), a]), ())
+# --- non-conjunctive nesting: DNF expansion with sibling-region
+# exclusion (Csg.hs members are arbitrary SolidItems) -----------------
+
+def test_difference_of_intersection_member():
+    # a - (b & c)  ==  (a-b) | (a-c): sibling validation must discard
+    # union-interior surfaces
+    a, b, c = ((0, 0, 0), 1.2), ((0.45, 0, 0), 0.9), ((-0.45, 0, 0), 0.9)
+    solid = G.difference(G.sphere(*a),
+                         G.intersection([G.sphere(*b), G.sphere(*c)]))
+    ina, inb, inc = (_in_sphere(*a), _in_sphere(*b), _in_sphere(*c))
+    _sweep_vs_oracle(solid, lambda p: ina(p) & ~(inb(p) & inc(p)), seed=4)
+
+
+def test_difference_of_difference_member():
+    # a - (b - c)  ==  (a-b) | (a & c)
+    a, b, c = ((0, 0, 0), 1.2), ((0.5, 0, 0), 0.9), ((0.3, 0.3, 0), 0.6)
+    solid = G.difference(G.sphere(*a),
+                         G.difference(G.sphere(*b), G.sphere(*c)))
+    ina, inb, inc = (_in_sphere(*a), _in_sphere(*b), _in_sphere(*c))
+    _sweep_vs_oracle(solid, lambda p: ina(p) & ~(inb(p) & ~inc(p)),
+                     seed=5)
+
+
+def test_union_containing_csg_member():
+    # (a | (b & c)) - e: a union whose member is itself a CSG
+    a, b, c = ((-0.6, 0, 0), 0.8), ((0.5, 0, 0), 0.9), ((0.9, 0, 0), 0.9)
+    e = ((0, 0.5, 0), 0.5)
+    solid = G.difference(
+        G.group([G.sphere(*a),
+                 G.intersection([G.sphere(*b), G.sphere(*c)])]),
+        G.sphere(*e))
+    ina, inb, inc, ine = (_in_sphere(*a), _in_sphere(*b),
+                          _in_sphere(*c), _in_sphere(*e))
+    _sweep_vs_oracle(
+        solid, lambda p: (ina(p) | (inb(p) & inc(p))) & ~ine(p), seed=6)
+
+
+def test_nonconjunctive_megakernel_parity():
+    """The Pallas megakernel path (interpret mode here) agrees with the
+    jnp path on a non-conjunctive scene."""
+    from glome_tpu import megakernel as MK
+    a, b, c = ((0, 0, 0), 1.2), ((0.45, 0, 0), 0.9), ((-0.45, 0, 0), 0.9)
+    solid = G.difference(G.sphere(*a),
+                         G.intersection([G.sphere(*b), G.sphere(*c)]))
+    compiled, arrays = _setup(solid)
+    rng = np.random.default_rng(7)
+    o = rng.normal(0, 3.0, (256, 3)).astype(np.float32)
+    d = rng.normal(0, 1.0, (256, 3))
+    d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+    h1 = _hits(compiled, arrays, o, d)
+    h2 = MK.mega_intersect(compiled, arrays, jnp.asarray(o),
+                           jnp.asarray(d))
+    np.testing.assert_array_equal(np.asarray(h1.hit), np.asarray(h2.hit))
+    m = np.asarray(h1.hit)
+    np.testing.assert_allclose(np.asarray(h1.t)[m], np.asarray(h2.t)[m],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_inside_origin_cavity_semantics():
+    """From INSIDE the solid looking into a subtracted cavity, the
+    reference advances past the cavity's entry wall and reports its FAR
+    wall with flipped normal (Csg.hs:33-54: origin-outside-B branch
+    advances past bd, the recast's origin-inside-B branch returns B's
+    exit).  Pin that exactly."""
+    solid = G.difference(G.sphere((0, 0, 0), 2.0),
+                         G.sphere((1.0, 0, 0), 0.5))
+    compiled, arrays = _setup(solid)
+    h = _hits(compiled, arrays, [[0, 0, 0]], [[1, 0, 0]])
+    np.testing.assert_allclose(h.t[0], 1.5, rtol=1e-5)
+    np.testing.assert_allclose(h.norm[0], [-1, 0, 0], atol=1e-5)
+    # the same through a non-conjunctive subtracted side: the recast
+    # lands on the subtracted intersection's exit (B exits first)
+    solid2 = G.difference(
+        G.sphere((0, 0, 0), 2.0),
+        G.intersection([G.sphere((1.0, 0, 0), 0.5),
+                        G.sphere((1.1, 0, 0), 0.6)]))
+    compiled2, arrays2 = _setup(solid2)
+    h2 = _hits(compiled2, arrays2, [[0, 0, 0]], [[1, 0, 0]])
+    np.testing.assert_allclose(h2.t[0], 1.5, rtol=1e-5)
