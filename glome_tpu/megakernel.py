@@ -75,11 +75,13 @@ DENSE_MAX = 96
 MEGA_EXT_MIN = 16384
 
 # groups larger than this route to the block-dense kernel
-# (block_kernel.py): Morton 128-prim blocks tested dense per BVH step,
-# as a separate seeded launch.  Round-3 profiling showed the in-kernel
-# per-prim 'bvh' phases cost 25 of the 28 ms L0-shadow launch on
-# these groups (tools/PERF_BUDGET.md).
-BLOCK_MIN = 512
+# (block_kernel.py) as a separate seeded launch.  A/B on the real L0
+# batches (tools/profile_shadow_ab.py) measured the in-kernel per-prim
+# 'bvh' phases FASTER than block-dense at every block size tried
+# (culling granularity beats dense VPU utilization on this scene), so
+# the threshold sits at the SMEM ceiling: groups whose scalar tables
+# cannot live in the megakernel's SMEM must stream as blocks.
+BLOCK_MIN = MEGA_EXT_MIN
 
 # block-eligible constraint sets: every clause member inlined as SMEM
 # scalars, evaluated per dense candidate -- cheap only when tiny
