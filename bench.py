@@ -80,32 +80,26 @@ def main():
     # mean color, so no frame can be skipped, cached, or overlapped),
     # and the per-frame time is the difference between a long and a
     # short chain, which cancels the fixed dispatch/transfer overhead.
-    def chain(n):
-        def run(a, o_, d_, prev):
-            def body(_, p):
-                res = tracer.trace(a, o_ + p * 1e-4, d_)
-                return jnp.mean(res.color[:, :3], axis=0)
-            return jax.lax.fori_loop(0, n, body, prev)
-        return jax.jit(run)
+    # The trip count is a DYNAMIC argument, so both chain lengths share
+    # one executable and the frame body compiles exactly once.
+    @jax.jit
+    def f_chain(n, a, o_, d_, prev):
+        def body(_, p):
+            res = tracer.trace(a, o_ + p * 1e-4, d_)
+            return jnp.mean(res.color[:, :3], axis=0)
+        return jax.lax.fori_loop(0, n, body, prev)
 
     n_long, n_short = 12, 2
-    f_long, f_short = chain(n_long), chain(n_short)
     prev0 = jnp.zeros((3,), jnp.float32)
     t0 = time.time()
-    out = f_short(arrays, o, d, prev0)
+    out = f_chain(n_short, arrays, o, d, prev0)
     jax.block_until_ready(out)
-    print(f"# compile+first short chain {time.time()-t0:.1f}s",
-          file=sys.stderr)
+    print(f"# compile+first chain {time.time()-t0:.1f}s", file=sys.stderr)
     assert np.all(np.isfinite(np.asarray(out)))
-    t0 = time.time()
-    out = f_long(arrays, o, d, prev0 + 1e-5)
-    jax.block_until_ready(out)
-    print(f"# compile+first long chain {time.time()-t0:.1f}s",
-          file=sys.stderr)
 
-    def timed(f, p0):
+    def timed(n, p0):
         t0 = time.time()
-        jax.block_until_ready(f(arrays, o, d, p0))
+        jax.block_until_ready(f_chain(n, arrays, o, d, p0))
         return time.time() - t0
 
     reps = 3
@@ -113,8 +107,8 @@ def main():
     for r in range(reps):
         # distinct seeds each rep so no execution repeats exactly
         eps = jnp.float32(1e-5 * (r + 1))
-        t_s = timed(f_short, prev0 + 2.0 * eps)
-        t_l = timed(f_long, prev0 + eps)
+        t_s = timed(n_short, prev0 + 2.0 * eps)
+        t_l = timed(n_long, prev0 + eps)
         dts.append((t_l - t_s) / (n_long - n_short))
         print(f"# rep {r}: short {t_s*1e3:.1f} ms, long {t_l*1e3:.1f} ms"
               f" -> {dts[-1]*1e3:.2f} ms/frame", file=sys.stderr)
@@ -163,29 +157,26 @@ def bench_mesh(jax):
     o = jax.device_put(o)
     d = jax.device_put(d)
 
-    def chain(n):
-        def run(a, o_, d_, prev):
-            def body(_, p):
-                res = tracer.trace(a, o_ + p * 1e-4, d_)
-                return jnp.mean(res.color[:, :3], axis=0)
-            return jax.lax.fori_loop(0, n, body, prev)
-        return jax.jit(run)
+    @jax.jit
+    def f_chain(n, a, o_, d_, prev):
+        def body(_, p):
+            res = tracer.trace(a, o_ + p * 1e-4, d_)
+            return jnp.mean(res.color[:, :3], axis=0)
+        return jax.lax.fori_loop(0, n, body, prev)
 
     n_long, n_short = 5, 1
-    f_long, f_short = chain(n_long), chain(n_short)
     prev0 = jnp.zeros((3,), jnp.float32)
     t0 = time.time()
-    jax.block_until_ready(f_short(arrays, o, d, prev0))
-    jax.block_until_ready(f_long(arrays, o, d, prev0 + 1e-5))
+    jax.block_until_ready(f_chain(n_short, arrays, o, d, prev0))
     print(f"# mesh compile+first {time.time()-t0:.1f}s", file=sys.stderr)
     dts = []
     for r in range(2):
         eps = jnp.float32(1e-5 * (r + 1))
         t0 = time.time()
-        jax.block_until_ready(f_short(arrays, o, d, prev0 + 2.0 * eps))
+        jax.block_until_ready(f_chain(n_short, arrays, o, d, prev0 + 2.0 * eps))
         t_s = time.time() - t0
         t0 = time.time()
-        jax.block_until_ready(f_long(arrays, o, d, prev0 + eps))
+        jax.block_until_ready(f_chain(n_long, arrays, o, d, prev0 + eps))
         t_l = time.time() - t0
         dts.append((t_l - t_s) / (n_long - n_short))
         print(f"# mesh rep {r}: {dts[-1]*1e3:.1f} ms/frame", file=sys.stderr)

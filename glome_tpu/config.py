@@ -87,20 +87,23 @@ class RenderConfig:
 
     @classmethod
     def tuned(cls, **kw):
-        """Queue-capacity schedule measured on TestScene at 720x480
-        with >=1.6x margin over true occupancy (L0: shadow 72%/light,
-        reflect 26%, refract 1.1%, warp 3.5%; L1 relative to its queue:
-        shadow 39%, reflect 10%, refract 0.8%, warp 1.3%).  Verified
-        zero-overflow (TraceResult.overflow) and golden-image identical
-        to the exact schedule.  For other scenes check
-        TraceResult.overflow -- any nonzero count means under-tracing;
-        widen the corresponding capacity (1.0 = exact)."""
-        kw.setdefault("reflect_capacity", (0.30, 0.20))
-        kw.setdefault("refract_capacity", (0.02, 0.04, 0.08))
-        kw.setdefault("warp_capacity", (0.05, 0.04))
+        """Queue-capacity schedule measured on TestScene at 720x480 in
+        TILE units (GLOME_OCC=1 live-tile counts at lossless caps:
+        L0/338t: shadow 336, reflect 153, refract 9, warp 22; L1:
+        reflect 91, refract 9, warp 7; L2: reflect 35, refract 14,
+        warp 2), with >=1.2x margin.  Tile-granular queues keep a tile
+        when ANY parent lane spawns that child, so tile occupancy runs
+        well above element occupancy (L0 reflect: 45% of tiles vs 26%
+        of rays).  Verified zero-overflow (TraceResult.overflow) and
+        golden-image identical to the exact schedule.  For other scenes
+        check TraceResult.overflow -- any nonzero count means
+        under-tracing; widen the corresponding capacity (1.0 = exact)."""
+        kw.setdefault("reflect_capacity", (0.55, 0.40, 0.30))
+        kw.setdefault("refract_capacity", (0.04, 0.05, 0.12))
+        kw.setdefault("warp_capacity", (0.10, 0.05))
         # shadows default to the masked full-width path (lossless, no
-        # compaction); the measured 72%/light occupancy makes capped
-        # compaction not worth its gather/scatter traffic
+        # compaction); the measured near-full tile occupancy makes
+        # capped compaction pointless
         return cls(**kw)
 
 

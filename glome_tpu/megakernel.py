@@ -1399,6 +1399,10 @@ def _run_external(compiled, plan, arrays, o, d, sid, t, wid, shadow,
         garrs = materialize_scene_params(sc, arrays["scenes"][si])
         seed_g = t if sid is None else jnp.where(
             sg(sid) == si, t, jnp.zeros_like(t))
+        if shadow:
+            # already-blocked lanes are done: zero their seed so they
+            # don't drag tiles through the walk (any-hit semantics)
+            seed_g = jnp.where(wid >= 0, jnp.zeros_like(seed_g), seed_g)
         t2, bl2 = mesh_block_pass(sc, garrs, gi, sg(o), sg(d), sg(seed_g),
                                   shadow)
         better = t2 < seed_g

@@ -181,6 +181,11 @@ def mesh_block_select(plan: MeshBlockPlan, tri_blocks, o, d, seed_t,
                                           jnp.maximum(t1y, t2y)),
                               jnp.maximum(t1z, t2z))
             hitm = (near <= far) & (far > 0.0) & (near < bt)
+            if shadow:
+                # any-hit: dead lanes (seed <= 0, the tile-compacted
+                # queues' masked rays) and already-blocked lanes must
+                # not pull the tile through more geometry
+                hitm = hitm & (seed > 0.0) & (bt >= seed)
             anyhit = jnp.any(hitm)
             nib = node * 3
             lc = ni_ref[nib + 2]
@@ -190,7 +195,8 @@ def mesh_block_select(plan: MeshBlockPlan, tri_blocks, o, d, seed_t,
                                   (bt, bl, hitm, ls, lc))
             nxt = jnp.where(anyhit, node + 1, ni_ref[nib])
             if shadow:
-                nxt = jnp.where(jnp.all(bt < seed), M, nxt)
+                undone = (seed > 0.0) & (bt >= seed)
+                nxt = jnp.where(jnp.any(undone), nxt, M)
             return nxt, bt, bl
 
         bt = seed

@@ -28,14 +28,31 @@ Edge fields per primitive type (object space for transformed groups):
   sphere    r^2 - |perp|^2           (quadratic discriminant; smooth)
   box       min over axes of slab overlap (far - near; piecewise linear)
   triangle  min barycentric margin * 2 * area-scale (signed, linear)
-  others    +INF on hit, -INF on miss (hard fallback; no soft edge)
+  disc      r^2 - |p - pos|^2 at the plane crossing (smooth)
+  cylinder  quadratic discriminant vs the z-slab interval overlap
+  cone      same scheme with the cone quadratic (Cone.hs:155-204 form)
+  plane     +INF on hit, -INF on miss (hard fallback; no soft edge)
 
-Scope: the soft pass sweeps the PLAIN (non-CSG) prim groups of scene 0
-with a dense O(N*P) jnp pass -- it targets optimization workloads
-(BASELINE config 5), which render small batches; the production forward
-path stays the hard megakernel.  Miss-side synthetic shading is depth-1
-surface shading (no child rays, no shadow query): its weight vanishes
-as tau -> 0 so exactness is unaffected.
+CSG winners (csg_id >= 0) additionally take the min of their own prim
+edge field and the *clause-validity margin*: for every other clause of
+the winner's CSG object, a smooth inside-margin over the clause's
+members (positive inside), signed by the clause polarity
+(Csg.hs:92-101 semantics: IN(set) == positive).  The margin is exactly
+positive where the hard kernel accepted the candidate, so tau -> 0
+exactness is preserved, and it moves when CSG member parameters move --
+optimization can translate a subtracted cavity, not just the host
+surface.  Near-miss candidates from CSG groups get the same margin at
+their synthetic surface point (applied after candidate selection; the
+argmax runs on the raw prim field).  DNF sibling-exclusion regions
+(non-conjunctive CSG) are not relaxed: their winners keep the own-field
++ margin treatment only.
+
+Scope: the soft pass sweeps the prim groups of scene 0 with a dense
+O(N*P) jnp pass -- it targets optimization workloads (BASELINE config
+5), which render small batches; the production forward path stays the
+hard megakernel.  Miss-side synthetic shading is depth-1 surface
+shading (no child rays, no shadow query): its weight vanishes as
+tau -> 0 so exactness is unaffected.
 """
 
 from __future__ import annotations
@@ -101,7 +118,186 @@ def _edge_and_point(ptype, params, o, d):
         n = vnorm(jnp.cross(e1, e2))
         n = jnp.where(vdot(n, d)[..., None] > 0.0, -n, n)
         return e, q, n
+    if ptype == "disc":
+        pos, norm, rsqr = params["pos"], params["norm"], params["rsqr"]
+        dn = vdot(norm, d)
+        dn_s = jnp.where(jnp.abs(dn) < 1e-12, 1e-12, dn)
+        t = -vdot(norm, o - pos) / dn_s
+        p = o + d * t[..., None]
+        off = p - pos
+        e = rsqr - vdot(off, off)
+        e = jnp.where((t > 0.0) & (jnp.abs(dn) > 1e-12), e, -BIG)
+        # closest point on the disc: clamp the radial offset to r
+        olen = jnp.sqrt(jnp.maximum(vdot(off, off), 1e-24))
+        scale = jnp.minimum(1.0, jnp.sqrt(jnp.maximum(rsqr, 0.0)) / olen)
+        q = pos + off * scale[..., None]
+        n = jnp.where(dn[..., None] > 0.0, -norm, norm)
+        n = jnp.broadcast_to(n, q.shape)
+        return e, q, n
+    if ptype == "cylinder":
+        # canonical z-axis cylinder (geom.cylinder_hits2 conventions):
+        # edge = quadratic discriminant when the xy-ray misses the
+        # infinite cylinder (smooth), else the [quadratic] x [z-slab]
+        # interval overlap (piecewise linear, > 0 exactly on hits)
+        r, h1, h2 = params["radius"], params["h1"], params["h2"]
+        ox, oy = o[..., 0], o[..., 1]
+        dx, dy = d[..., 0], d[..., 1]
+        a = dx * dx + dy * dy
+        a_s = jnp.maximum(a, 1e-12)
+        b = 2.0 * (dx * ox + dy * oy)
+        c = ox * ox + oy * oy - r * r
+        disc = b * b - 4.0 * a * c
+        has_roots = disc > 0.0
+        # sqrt of a clamped-positive guard value: where() does not stop
+        # NaN cotangents from sqrt(0) leaking into the other branch
+        sq = jnp.sqrt(jnp.where(has_roots, disc, 1.0))
+        lo = jnp.where(has_roots, (-b - sq) / (2.0 * a_s), BIG)
+        hi = jnp.where(has_roots, (-b + sq) / (2.0 * a_s), -BIG)
+        vert = a < 1e-10
+        lo = jnp.where(vert, jnp.where(c < 0.0, -BIG, BIG), lo)
+        hi = jnp.where(vert, jnp.where(c < 0.0, BIG, -BIG), hi)
+        zlo, zhi = _slab1(o[..., 2], d[..., 2], h1, h2)
+        t0 = jnp.maximum(lo, zlo)
+        t1 = jnp.minimum(hi, zhi)
+        ov = jnp.clip(t1 - t0, -BIG, BIG)
+        # gate: candidate interval entirely behind the origin (and the
+        # origin outside) can never become a hit by growing the prim
+        inside_o = (c < 0.0) & (o[..., 2] > h1) & (o[..., 2] < h2)
+        ov = jnp.where((t1 <= 0.0) & ~inside_o, -BIG, ov)
+        tstar = -b / (2.0 * a_s)
+        smooth_miss = ~vert & ~has_roots
+        e = jnp.where(smooth_miss,
+                      jnp.where((tstar <= 0.0) & ~inside_o, -BIG,
+                                disc / (4.0 * a_s)),
+                      ov)
+        pstar = o + d * jnp.maximum(tstar, 0.0)[..., None]
+        q, n = _cyl_surface(r, h1, h2, pstar)
+        return e, q, n
+    if ptype == "cone":
+        # canonical clipped cone (geom.cone_hits2 conventions): same
+        # scheme with the cone quadratic; a <= 0 tail intervals follow
+        # the exact kernel so hits keep e > 0
+        r, c1, c2, height = (params["radius"], params["clip1"],
+                             params["clip2"], params["height"])
+        ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
+        dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+        kp = r / height
+        k = kp * kp
+        a = dx * dx + dy * dy - k * dz * dz
+        b = 2.0 * (dx * ox + dy * oy - k * dz * (oz - height))
+        c = ox * ox + oy * oy - k * (oz - height) * (oz - height)
+        disc = b * b - 4.0 * a * c
+        a_abs = jnp.maximum(jnp.abs(a), 1e-12)
+        has_roots = disc > 0.0
+        sq = jnp.sqrt(jnp.where(has_roots, disc, 1.0))
+        sq = jnp.where(has_roots, sq, 0.0)
+        lo = (-b - sq * jnp.sign(a)) / (2.0 * jnp.where(a == 0.0, 1e-12, a))
+        hi = (-b + sq * jnp.sign(a)) / (2.0 * jnp.where(a == 0.0, 1e-12, a))
+        # a > 0: inside between roots.  a < 0: tails; within z < height
+        # only one tail applies, picked by sign(dz) (geom.cone_hits2)
+        pos_lo, pos_hi = lo, hi
+        neg_lo = jnp.where(dz > 0.0, -BIG, hi)
+        neg_hi = jnp.where(dz > 0.0, lo, BIG)
+        b_s = jnp.where(jnp.abs(b) < 1e-12, 1e-12, b)
+        lin_t = -c / b_s
+        lin_lo = jnp.where(b < 0.0, lin_t, -BIG)
+        lin_hi = jnp.where(b < 0.0, BIG, lin_t)
+        flo = jnp.where(a > 0.0, pos_lo, jnp.where(a < 0.0, neg_lo, lin_lo))
+        fhi = jnp.where(a > 0.0, pos_hi, jnp.where(a < 0.0, neg_hi, lin_hi))
+        no_roots = (a != 0.0) & (disc < 0.0)
+        flo = jnp.where(no_roots, jnp.where(a > 0.0, BIG, -BIG), flo)
+        fhi = jnp.where(no_roots, jnp.where(a > 0.0, -BIG, BIG), fhi)
+        zlo, zhi = _slab1(oz, dz, c1, c2)
+        t0 = jnp.maximum(flo, zlo)
+        t1 = jnp.minimum(fhi, zhi)
+        ov = jnp.clip(t1 - t0, -BIG, BIG)
+        miss_smooth = (a > 0.0) & (disc < 0.0)
+        e = jnp.where(miss_smooth, disc / (4.0 * a_abs), ov)
+        rz_o = kp * (height - oz)
+        inside_o = (oz > c1) & (oz < c2) & (c < 0.0) & (rz_o > 0.0)
+        e = jnp.where((t1 <= 0.0) & ~inside_o & ~miss_smooth, -BIG, e)
+        tstar = -b / (2.0 * jnp.where(a == 0.0, 1e-12, a))
+        e = jnp.where(miss_smooth & (tstar <= 0.0) & ~inside_o, -BIG, e)
+        pstar = o + d * jnp.maximum(jnp.where(a > 0.0, tstar, 0.0),
+                                    0.0)[..., None]
+        q, n = _cone_surface(r, c1, c2, height, pstar)
+        return e, q, n
     return None
+
+
+def _slab1(oz, dz, h1, h2):
+    """Smooth parameter interval where h1 < z < h2 (soft variant of
+    geom._zslab: parallel rays resolved by origin containment)."""
+    dz_s = jnp.where(jnp.abs(dz) < 1e-12, 1e-12, dz)
+    ta = (h1 - oz) / dz_s
+    tb = (h2 - oz) / dz_s
+    lo = jnp.minimum(ta, tb)
+    hi = jnp.maximum(ta, tb)
+    para = jnp.abs(dz) < 1e-12
+    in_slab = (oz > h1) & (oz < h2)
+    lo = jnp.where(para, jnp.where(in_slab, -BIG, BIG), lo)
+    hi = jnp.where(para, jnp.where(in_slab, BIG, -BIG), hi)
+    return lo, hi
+
+
+def _cyl_surface(r, h1, h2, pstar):
+    """Nearest side-surface point/normal to a probe point (canonical)."""
+    xy = pstar[..., :2]
+    xylen = jnp.sqrt(jnp.maximum(vdot(xy, xy), 1e-24))
+    ux = xy[..., 0] / xylen
+    uy = xy[..., 1] / xylen
+    zc = jnp.clip(pstar[..., 2], h1, h2)
+    q = jnp.stack([ux * r, uy * r, zc], axis=-1)
+    n = jnp.stack([ux, uy, jnp.zeros_like(ux)], axis=-1)
+    return q, n
+
+
+def _cone_surface(r, c1, c2, height, pstar):
+    """Nearest cone-side point/normal to a probe point (canonical)."""
+    kp = r / height
+    xy = pstar[..., :2]
+    xylen = jnp.sqrt(jnp.maximum(vdot(xy, xy), 1e-24))
+    ux = xy[..., 0] / xylen
+    uy = xy[..., 1] / xylen
+    zc = jnp.clip(pstar[..., 2], c1, jnp.minimum(c2, height - 1e-6))
+    rz = jnp.maximum(kp * (height - zc), 1e-6)
+    q = jnp.stack([ux * rz, uy * rz, zc], axis=-1)
+    invhyp = 1.0 / jnp.sqrt(height * height + r * r)
+    up = r * invhyp
+    out = height * invhyp
+    n = jnp.stack([ux * out, uy * out,
+                   jnp.broadcast_to(up, ux.shape)], axis=-1)
+    return q, n
+
+
+def _inside_margin(ptype, params, p):
+    """Smooth signed inside-margin of prims at points: positive exactly
+    where _inside_comp / the geom *_inside tests are True (strictly),
+    negative outside, zero on the boundary.  p: (N, P, 3) object-space
+    points broadcast against (1, P, ...) params.  Zero-volume prims
+    (triangle/disc) are never inside (-BIG)."""
+    if ptype == "sphere":
+        off = params["center"] - p
+        return params["radius"] ** 2 - vdot(off, off)
+    if ptype == "plane":
+        return params["offset"] - vdot(params["norm"], p)
+    if ptype == "box":
+        lo = p - params["bmin"]
+        hi = params["bmax"] - p
+        return jnp.min(jnp.minimum(lo, hi), axis=-1)
+    if ptype == "cylinder":
+        r, h1, h2 = params["radius"], params["h1"], params["h2"]
+        x, y, z = p[..., 0], p[..., 1], p[..., 2]
+        return jnp.minimum(r * r - x * x - y * y,
+                           jnp.minimum(z - h1, h2 - z))
+    if ptype == "cone":
+        r, c1, c2, height = (params["radius"], params["clip1"],
+                             params["clip2"], params["height"])
+        x, y, z = p[..., 0], p[..., 1], p[..., 2]
+        rz = r * (1.0 - (z - c1) / height)
+        return jnp.minimum(rz * jnp.abs(rz) - x * x - y * y,
+                           jnp.minimum(z - c1, c2 - z))
+    return jnp.full(p.shape[:-1], -BIG, p.dtype)
 
 
 class SoftTracer:
@@ -111,16 +307,21 @@ class SoftTracer:
     visibility at silhouettes is a sigmoid of the edge field with
     temperature `tau`.  tau <= 0 returns the hard color unchanged."""
 
+    SOFT_TYPES = ("sphere", "box", "triangle", "trianglenorm",
+                  "disc", "cylinder", "cone")
+
     def __init__(self, tracer: Tracer, tau: float = 1e-2):
         self.tracer = tracer
         self.tau = float(tau)
         cc = tracer.compiled
-        # plain (non-CSG, scene-0) groups with a soft edge field
+        # scene-0 groups with a soft edge field (CSG members included:
+        # their winners/candidates take the min with the clause margin)
         self.soft_groups = [
             (gi, g) for gi, g in enumerate(cc.scenes[0].groups)
-            if g.size > 0 and np.all(g.csg_id < 0)
-            and not bool(g.onlyshadow.any())
-            and g.ptype in ("sphere", "box", "triangle", "trianglenorm")]
+            if g.size > 0 and not bool(g.onlyshadow.any())
+            and g.ptype in self.SOFT_TYPES]
+        self.has_csg = any(np.any(g.csg_id >= 0)
+                           for _gi, g in self.soft_groups)
 
     # -- edge field of the winner + best near-miss candidate ---------------
 
@@ -128,7 +329,9 @@ class SoftTracer:
         """Per-ray: edge field of the winning prim (+BIG when the winner
         has no soft field), and the best near-miss soft candidate
         (largest e among prims that are NOT the winner) with its
-        synthetic surface point/normal/texture stack."""
+        synthetic surface point/normal/texture stack.  Also returns the
+        winner's and the candidate's (csg_id, clause) for the clause
+        margin, -1 for plain prims."""
         N = o.shape[0]
         dt = o.dtype
         cc = self.tracer.compiled
@@ -136,6 +339,10 @@ class SoftTracer:
         e_best = jnp.full((N,), -BIG, dt)
         q_best = jnp.zeros((N, 3), dt)
         n_best = jnp.zeros((N, 3), dt)
+        win_cid = jnp.full((N,), -1, jnp.int32)
+        win_cl = jnp.full((N,), -1, jnp.int32)
+        cand_cid = jnp.full((N,), -1, jnp.int32)
+        cand_cl = jnp.full((N,), -1, jnp.int32)
         from .compile import TEX_DEPTH
         tex_best = jnp.full((N, TEX_DEPTH), -1, jnp.int32)
         from .compile import group_device_params
@@ -164,9 +371,15 @@ class SoftTracer:
                 n = vnorm(jnp.einsum('npji,npj->npi', mi[..., :3], n))
             serials = jnp.asarray(g.prim_serial)[None]         # (1, P)
             is_win = serials == hit_serial[:, None]
-            e_win = jnp.where(jnp.any(is_win, axis=1),
+            any_win = jnp.any(is_win, axis=1)
+            e_win = jnp.where(any_win,
                               jnp.max(jnp.where(is_win, e, -BIG), axis=1),
                               e_win)
+            jw = jnp.argmax(jnp.where(is_win, e, -BIG), axis=1)
+            win_cid = jnp.where(any_win,
+                                jnp.asarray(g.csg_id)[jw], win_cid)
+            win_cl = jnp.where(any_win,
+                               jnp.asarray(g.csg_clause)[jw], win_cl)
             # best near-miss candidate (exclude the winner itself)
             e_m = jnp.where(is_win, -BIG, e)
             j = jnp.argmax(e_m, axis=1)
@@ -178,8 +391,60 @@ class SoftTracer:
             n_best = jnp.where(upd[:, None], take(n), n_best)
             tex_g = jnp.asarray(g.tex_stack)[j]
             tex_best = jnp.where(upd[:, None], tex_g, tex_best)
+            cand_cid = jnp.where(upd, jnp.asarray(g.csg_id)[j], cand_cid)
+            cand_cl = jnp.where(upd, jnp.asarray(g.csg_clause)[j], cand_cl)
             e_best = jnp.where(upd, ej, e_best)
-        return e_win, e_best, q_best, n_best, tex_best
+        return (e_win, e_best, q_best, n_best, tex_best,
+                (win_cid, win_cl), (cand_cid, cand_cl))
+
+    # -- CSG clause-validity margin ---------------------------------------
+
+    def _csg_margin(self, arrays, p, cid_arr, cl_arr):
+        """Smooth clause-validity margin at points p (N, 3) for rays
+        whose prim belongs to CSG object `cid_arr` via clause `cl_arr`:
+        min over the OTHER clauses of (positive ? m : -m) where m is
+        the clause's smooth inside-margin (max over members).  Exactly
+        positive where the kernel's eval_cons accepted the candidate
+        (Csg.hs:92-101), so tau -> 0 keeps the hard image.  +BIG for
+        plain prims (cid -1)."""
+        from .compile import group_device_params
+        cc = self.tracer.compiled
+        sc = cc.scenes[0]
+        N = p.shape[0]
+        dt = p.dtype
+        out = jnp.full((N,), BIG, dt)
+        if not self.has_csg:
+            return out
+        for cid, csg in enumerate(sc.csgs):
+            sel = cid_arr == cid
+            m_total = jnp.full((N,), BIG, dt)
+            for ci, clause in enumerate(csg.clauses):
+                m_cl = jnp.full((N,), -BIG, dt)
+                for gi, idx in clause.members:
+                    g = sc.groups[gi]
+                    garr = group_device_params(
+                        g, arrays["scenes"][0][gi])
+                    params = {}
+                    for k, v in garr.items():
+                        if k in ("m_inv", "m_fwd"):
+                            continue
+                        v = jnp.asarray(v, dt)[np.asarray(idx)]
+                        params[k] = v[None]
+                    pp = p[:, None]
+                    if g.m_inv is not None:
+                        mi = jnp.asarray(garr["m_inv"],
+                                         dt)[np.asarray(idx)][None]
+                        pp = jnp.einsum('npij,nj->npi',
+                                        mi[..., :3], p) + mi[..., 3]
+                    m = _inside_margin(g.ptype, params, pp)  # (N, M)
+                    m_cl = jnp.maximum(m_cl, m.max(axis=1))
+                sgn = 1.0 if clause.positive else -1.0
+                m_signed = sgn * m_cl
+                # the candidate's own clause is not re-validated
+                m_signed = jnp.where(cl_arr == ci, BIG, m_signed)
+                m_total = jnp.minimum(m_total, m_signed)
+            out = jnp.where(sel, m_total, out)
+        return out
 
     def _shade_point(self, arrays, d, q, n, tex_stack):
         """Depth-1 surface shading of a synthetic hit (no child rays, no
@@ -223,8 +488,18 @@ class SoftTracer:
               else jnp.zeros((4,), dt))
         bg = jnp.broadcast_to(bg, (N, 4))
         hitm = res.t < INFINITY
-        e_win, e_best, q_best, n_best, tex_best = self._soft_pass(
+        (e_win, e_best, q_best, n_best, tex_best,
+         (win_cid, win_cl), (cand_cid, cand_cl)) = self._soft_pass(
             arrays, o, d, res.prim_serial)
+        if self.has_csg:
+            # CSG winners/candidates: edge = min(own field, clause
+            # margin) so member motion moves the boolean silhouette
+            p_hit = vscaleadd(o, d, jnp.where(hitm, res.t, 0.0))
+            e_win = jnp.minimum(
+                e_win, self._csg_margin(arrays, p_hit, win_cid, win_cl))
+            e_best = jnp.minimum(
+                e_best, self._csg_margin(arrays, q_best,
+                                         cand_cid, cand_cl))
         # hit side: coverage of the winner
         a_hit = jax.nn.sigmoid(e_win / self.tau)
         hard = res.color

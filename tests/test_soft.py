@@ -133,3 +133,160 @@ def test_optimize_recovers_translated_sphere():
     assert float(l) < 0.25 * l0, (float(l), l0)
     got = float(params["cx"])
     np.testing.assert_allclose(got, 0.35, atol=0.06)
+
+
+# ---- round-3 widening: cone/cylinder/disc edge fields + CSG margins ----
+
+def _prim_scene(make_solid):
+    m = Surface(color=(0.9, 0.3, 0.1), alpha=1, ambient=0.3, kd=0.7)
+    solid = G.tex(make_solid(), G.t_uniform(m))
+    lights = (light((3, 4, -6), (60, 60, 60)),)
+    compiled = G.compile_scene(solid, lights)
+    return compiled, compiled.arrays()
+
+
+def _fd_vs_ad_translation(make_solid, probe_o, grad_leaf, eps=1e-3,
+                          tau=0.05, rtol=0.12):
+    """AD gradient of a soft silhouette loss w.r.t. a whole-group
+    translation must match central finite differences (the translation
+    is applied by shifting the probe rays, which is exactly equivalent
+    and keeps the test independent of each type's param layout)."""
+    compiled, arrays = _prim_scene(make_solid)
+    arrays = jax.tree.map(jnp.asarray, arrays)
+    tracer = Tracer(compiled, RenderConfig(maxdepth=2))
+    soft = SoftTracer(tracer, tau=tau)
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32),
+                 (probe_o.shape[0], 1))
+
+    def loss(o):
+        col = soft.render(arrays, o, d)
+        return jnp.sum(col[:, :3] * col[:, 3:4])
+
+    o0 = jnp.asarray(probe_o, jnp.float32)
+    g = jax.jit(jax.grad(loss))(o0)
+    gx = float(jnp.sum(g[:, 0]))
+    assert abs(gx) > 1e-4, "no coverage gradient at the silhouette"
+    lj = jax.jit(loss)
+    dx = jnp.zeros_like(o0).at[:, 0].set(eps)
+    fd = (float(lj(o0 + dx)) - float(lj(o0 - dx))) / (2 * eps)
+    np.testing.assert_allclose(gx, fd, rtol=rtol, atol=1e-4)
+
+
+def test_silhouette_fd_vs_ad_cylinder():
+    # axis along x: the silhouette at y = +-r is the curved side
+    probe = np.array([[0.0, 0.97, -5.0], [0.0, 1.03, -5.0],
+                      [0.3, -0.96, -5.0]], np.float32)
+    _fd_vs_ad_translation(
+        lambda: G.cylinder((-1.0, 0, 0), (1.0, 0, 0), 1.0), probe,
+        "cyl")
+
+
+def test_silhouette_fd_vs_ad_cone():
+    # cone from base r=1 at x=-1 to tip r~0 at x=+1, axis along x
+    probe = np.array([[-0.5, 0.72, -5.0], [-0.5, 0.78, -5.0],
+                      [0.0, -0.48, -5.0]], np.float32)
+    _fd_vs_ad_translation(
+        lambda: G.cone((-1.0, 0, 0), 1.0, (1.0, 0, 0), 0.01), probe,
+        "cone", rtol=0.2)
+
+
+def test_silhouette_fd_vs_ad_disc():
+    probe = np.array([[0.97, 0.0, -5.0], [1.03, 0.0, -5.0]], np.float32)
+    _fd_vs_ad_translation(
+        lambda: G.disc((0, 0, 0), (0, 0, -1.0), 1.0), probe, "disc")
+
+
+def test_tau_zero_exact_cone_cylinder_disc():
+    # the new edge fields must keep tau -> 0 exactness: e > 0 on every
+    # hard hit, e < 0 on every miss (soft.py invariant)
+    def make():
+        return G.group([
+            G.cylinder((-2.2, -1, 0), (-2.2, 1, 0), 0.6),
+            G.cone((0.0, -1, 0), 0.8, (0.0, 1.2, 0), 0.05),
+            G.disc((2.2, 0, 0), (0, 0.2, -1.0), 0.9),
+        ])
+    m = Surface(color=(0.2, 0.6, 0.9), alpha=1, ambient=0.3, kd=0.7)
+    solid = G.tex(make(), G.t_uniform(m))
+    lights = (light((3, 4, -6), (60, 60, 60)),)
+    compiled = G.compile_scene(solid, lights)
+    arrays = compiled.arrays()
+    tracer = Tracer(compiled, RenderConfig(maxdepth=2))
+    o, d = _ortho_rays(64, 24, half=3.4)
+    hard = jax.jit(lambda a: tracer.trace(a, o, d).color)(arrays)
+    s0 = jax.jit(lambda a: SoftTracer(tracer, tau=0.0).render(a, o, d))(
+        arrays)
+    np.testing.assert_array_equal(np.asarray(hard), np.asarray(s0))
+    s1 = jax.jit(lambda a: SoftTracer(tracer, tau=1e-6).render(a, o, d))(
+        arrays)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(hard), atol=1e-4)
+
+
+def test_optimize_recovers_translated_csg_cavity():
+    # difference(sphere A, sphere B) with B biting the silhouette edge:
+    # recovering B's translation needs gradients through the BOOLEAN
+    # boundary (clause-validity margin), which neither the hard tracer
+    # nor plain prim edge fields provide.
+    import optax
+
+    def make(bx):
+        m = Surface(color=(0.9, 0.3, 0.1), alpha=1, ambient=0.3, kd=0.7)
+        return G.tex(G.difference(G.sphere((0, 0, 0), 1.0),
+                                  G.sphere((bx, 0.9, 0.0), 0.55)),
+                     G.t_uniform(m))
+
+    lights = (light((3, 4, -6), (60, 60, 60)),)
+    compiled = G.compile_scene(make(0.45), lights)
+    arrays0 = compiled.arrays()
+    o, d = _ortho_rays(48, 36, half=1.8)
+    tr0 = Tracer(compiled, RenderConfig(maxdepth=2))
+    target = jax.jit(lambda a: tr0.trace(a, o, d).color)(arrays0)
+    target_rgb = target[:, :3] * target[:, 3:4]
+
+    compiled1 = G.compile_scene(make(0.10), lights)
+    arrays = jax.tree.map(jnp.asarray, compiled1.arrays())
+    tr1 = Tracer(compiled1, RenderConfig(maxdepth=2))
+    assert SoftTracer(tr1).has_csg
+
+    # locate the cavity sphere's group (1-prim sphere group whose
+    # csg_clause is the negative clause)
+    bgi = next(gi for gi, g in enumerate(compiled1.scenes[0].groups)
+               if g.ptype == "sphere" and g.size == 1
+               and int(g.csg_id[0]) >= 0
+               and not compiled1.scenes[0].csgs[int(g.csg_id[0])]
+               .clauses[int(g.csg_clause[0])].positive)
+    base_c = jnp.asarray(arrays["scenes"][0][bgi]["center"])
+    params = {"bx": jnp.zeros(())}
+    l0 = None
+
+    # tau annealing: the soft silhouette sits O(tau) off the hard
+    # target's, so a fixed temperature settles with a bias; shrinking
+    # tau walks the equilibrium onto the true translation
+    for tau, lr, iters in ((0.08, 2e-2, 120), (0.02, 5e-3, 120),
+                           (0.006, 2e-3, 120)):
+        soft = SoftTracer(tr1, tau=tau)
+        loss_fn = soft_pixel_loss_fn(soft)
+
+        def full_loss(p):
+            a = {"scenes": [[dict(gd) for gd in s]
+                            for s in arrays["scenes"]],
+                 "lights": arrays["lights"]}
+            a["scenes"][0][bgi]["center"] = base_c + jnp.stack(
+                [p["bx"], jnp.zeros(()), jnp.zeros(())])[None]
+            return loss_fn(a, o, d, target_rgb)
+
+        opt = optax.adam(lr)
+        state = opt.init(params)
+
+        @jax.jit
+        def step(params, state):
+            l, g = jax.value_and_grad(full_loss)(params)
+            upd, state = opt.update(g, state, params)
+            return optax.apply_updates(params, upd), state, l
+
+        for i in range(iters):
+            params, state, l = step(params, state)
+            if l0 is None:
+                l0 = float(l)
+    assert float(l) < 0.15 * l0, (float(l), l0)
+    got = 0.10 + float(params["bx"])
+    np.testing.assert_allclose(got, 0.45, atol=0.03)
