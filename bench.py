@@ -123,13 +123,71 @@ def main():
     except Exception as e:  # noqa: BLE001 -- secondary metric must not
         print(f"# mesh bench failed: {e}", file=sys.stderr)
 
+    aa_stats = {}
+    try:
+        aa_stats = bench_aa(jax, compiled, tracer, cam)
+    except Exception as e:  # noqa: BLE001
+        print(f"# aa bench failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "TestScene_720x480_depth3_primary_Mrays_per_s",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 2),
         **mesh_stats,
+        **aa_stats,
     }))
+
+
+def bench_aa(jax, compiled, tracer, cam):
+    """Adaptive-AA frame (the reference's actual render cost model:
+    subsample 1/8 ray/px adaptively up to 2 rays/px,
+    /root/reference/README.md:20, GlomeView/Glome.hs:226-323)."""
+    import jax.numpy as jnp
+    from glome_tpu.aa import AARenderer
+
+    arrays = jax.device_put(compiled.arrays())
+    aa = AARenderer(tracer, cam, tracer.config)
+    xres, yres = tracer.config.xres, tracer.config.yres
+
+    # one executable serves timing AND the per-pass ray counts: the
+    # chained fori carries (mean rgb, total requested rays), light
+    # positions jittered per frame so no execution repeats
+    @jax.jit
+    def f_chain(n, a, prev):
+        def body(_, c):
+            p, _ = c
+            l2 = {**a["lights"], "pos": a["lights"]["pos"] + p * 1e-6}
+            rgb, _depth, counts = aa._render({**a, "lights": l2})
+            tot = sum(jnp.asarray(v) for v in counts.values())
+            return (jnp.mean(rgb, axis=(0, 1)), tot)
+        return jax.lax.fori_loop(0, n, body, (prev, jnp.int32(0)))
+
+    n_long, n_short = 4, 1
+    prev0 = jnp.zeros((3,), jnp.float32)
+    t0 = time.time()
+    out = f_chain(n_short, arrays, prev0)
+    jax.block_until_ready(out)
+    n_rays = int(out[1])
+    print(f"# aa compile+first {time.time()-t0:.1f}s; "
+          f"{n_rays/(xres*yres):.3f} rays/px", file=sys.stderr)
+    dts = []
+    for r in range(2):
+        eps = jnp.float32(1e-5 * (r + 1))
+        t0 = time.time()
+        jax.block_until_ready(f_chain(n_short, arrays, prev0 + 2 * eps))
+        t_s = time.time() - t0
+        t0 = time.time()
+        jax.block_until_ready(f_chain(n_long, arrays, prev0 + eps))
+        t_l = time.time() - t0
+        dts.append((t_l - t_s) / (n_long - n_short))
+        print(f"# aa rep {r}: {dts[-1]*1e3:.1f} ms/frame", file=sys.stderr)
+    dt = sorted(dts)[len(dts) // 2]
+    return {
+        "aa_720x480_ms_per_frame": round(dt * 1e3, 1),
+        "aa_rays_per_px": round(n_rays / (xres * yres), 3),
+        "aa_720x480_Mrays_per_s": round(n_rays / dt / 1e6, 3),
+    }
 
 
 def bench_mesh(jax):

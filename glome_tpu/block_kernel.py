@@ -64,8 +64,16 @@ RT = 1024          # rays per tile: one (8, 128) vreg block
 BP = 8
 
 
+# the select table only carries the fields the t-kernel reads:
+# trianglenorm's n1..n3 are finalize's job (_T_KERNELS["trianglenorm"]
+# is _triangle_t, distances from p1..p3 only), and dropping them halves
+# a 100k-tri mesh's VMEM-resident table (7.2 -> 3.6 MB)
+SELECT_FIELDS = dict(FIELDS)
+SELECT_FIELDS["trianglenorm"] = FIELDS["triangle"]
+
+
 def _field_width(ptype):
-    return sum(w for _, w in FIELDS[ptype])
+    return sum(w for _, w in SELECT_FIELDS[ptype])
 
 
 def morton_order(centers: np.ndarray) -> np.ndarray:
@@ -99,26 +107,32 @@ class BlockPlan:
         F = _field_width(g.ptype) + (12 if self.transformed else 0)
         self.F = F
         bmin, bmax = A.group_bounds(g)
-        order = morton_order((bmin + bmax) * 0.5)
+        # packed group rows are already Morton-ordered (compile
+        # _morton_sort / mesh packing), so consecutive bp-runs of
+        # PACKED rows are spatially compact blocks and the table needs
+        # no permutation: the kernel's winner row IS the group-local
+        # prim index (mod padding), and block_pass skips a (N,)-wide
+        # remap gather (measured 15 ms/frame at 1080p)
         self.n_blocks = (P + bp - 1) // bp
         padP = self.n_blocks * bp - P
-        # pad by replicating the last Morton prim: real geometry, so
-        # padded lanes can win only with a result identical to the
-        # prim they duplicate (never a phantom hit, unlike zero rows)
+        # pad by replicating the last prim: real geometry, so padded
+        # lanes can win only with a result identical to the prim they
+        # duplicate (never a phantom hit, unlike zero rows)
         if padP:
-            order = np.concatenate([order, np.repeat(order[-1:], padP)])
-        blk_min = bmin[order].reshape(self.n_blocks, bp, 3).min(axis=1)
-        blk_max = bmax[order].reshape(self.n_blocks, bp, 3).max(axis=1)
+            bmin = np.concatenate([bmin, np.repeat(bmin[-1:], padP, 0)])
+            bmax = np.concatenate([bmax, np.repeat(bmax[-1:], padP, 0)])
+        blk_min = bmin.reshape(self.n_blocks, bp, 3).min(axis=1)
+        blk_max = bmax.reshape(self.n_blocks, bp, 3).max(axis=1)
         bvh = A.build_bvh2(blk_min, blk_max, leaf_max=1)
-        # permute rows so leaf block j in BVH order is table block j
-        self.row_perm = order.reshape(self.n_blocks, bp)[
-            np.asarray(bvh.order, np.int32)].reshape(-1)
-        self.sel_to_local = self.row_perm.copy()
+        # leaf nodes point at ORIGINAL block ids (table unpermuted)
+        ordb = np.asarray(bvh.order, np.int32)
         self.nf = np.concatenate(
             [np.asarray(bvh.bmin, np.float32),
              np.asarray(bvh.bmax, np.float32)], axis=1).reshape(-1)
         # per node: [left, right, leaf_block]; leaf_block = -1 for inner
-        leaf_blk = np.where(bvh.leaf_count > 0, bvh.leaf_start, -1)
+        leaf_blk = np.where(
+            bvh.leaf_count > 0,
+            ordb[np.clip(bvh.leaf_start, 0, self.n_blocks - 1)], -1)
         self.ni = np.stack(
             [np.asarray(bvh.left, np.int32),
              np.asarray(bvh.right, np.int32),
@@ -148,6 +162,11 @@ class BlockPlan:
             self.cf_size = max(off, 1)
 
 
+# node tables live in SMEM: cap the block count so a 100k-prim group's
+# BVH stays ~100 KB of SMEM (bp doubles from BP until it fits)
+MAX_BLOCKS = 2048
+
+
 def get_block_plan(g, sc=None, interpret: bool = False) -> BlockPlan:
     """Cached plan.  Interpret mode (CPU tests) uses ONE whole-group
     block: the traversal loop is python-speed there, but a single dense
@@ -156,7 +175,12 @@ def get_block_plan(g, sc=None, interpret: bool = False) -> BlockPlan:
     attr = "_gblock_plan_interp" if interpret else "_gblock_plan"
     plan = getattr(g, attr, None)
     if plan is None:
-        bp = (g.size + 7) // 8 * 8 if interpret else BP
+        if interpret:
+            bp = (g.size + 7) // 8 * 8
+        else:
+            bp = BP
+            while (g.size + bp - 1) // bp > MAX_BLOCKS:
+                bp *= 2
         plan = BlockPlan(g, sc, bp=bp)
         setattr(g, attr, plan)
     return plan
@@ -166,13 +190,15 @@ def pack_blocks(plan: BlockPlan, params) -> jnp.ndarray:
     """(n_blocks, bp, F) f32 table in BVH leaf order -- prim fields
     read as (bp, 1) sublane columns (caller wraps in stop_gradient)."""
     cols = []
-    for name, _w in FIELDS[plan.ptype]:
+    for name, _w in SELECT_FIELDS[plan.ptype]:
         v = jnp.asarray(params[name])
         cols.append(v.reshape(v.shape[0], -1) if v.ndim > 1 else v[:, None])
     if plan.transformed:
         cols.append(jnp.asarray(params["m_inv"]).reshape(-1, 12))
     rows = jnp.concatenate(cols, axis=-1).astype(jnp.float32)
-    rows = rows[plan.row_perm]                       # (n_blocks*bp, F)
+    padP = plan.n_blocks * plan.bp - rows.shape[0]
+    if padP:
+        rows = jnp.concatenate([rows, jnp.repeat(rows[-1:], padP, 0)])
     return rows.reshape(plan.n_blocks, plan.bp, plan.F)
 
 
@@ -201,8 +227,9 @@ def block_select(plan: BlockPlan, tab, cf, o, d, seed_t,
                  interpret: Optional[bool] = None):
     """(t, sel2) nearest valid candidate of this group per ray.
 
-    sel2 = permuted_row * 2 + slot (slot 0 entry / 1 exit), -1 where
-    nothing beat seed_t.  Map rows through plan.sel_to_local."""
+    sel2 = row * 2 + slot (slot 0 entry / 1 exit), -1 where nothing
+    beat seed_t.  Rows are group-local prim indices (padded rows
+    duplicate the last prim; clamp)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     N = o.shape[0]
@@ -413,6 +440,13 @@ def block_select(plan: BlockPlan, tab, cf, o, d, seed_t,
     blk = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     out_specs = (blk, blk)
+    # the resident table + streaming buffers can exceed the 16 MB
+    # default scoped-vmem budget on big groups; raise the cap (the
+    # compiler still errors if physical VMEM is exceeded)
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20)
     bt, bs = pl.pallas_call(
         kernel,
         grid=(T,),
@@ -421,6 +455,7 @@ def block_select(plan: BlockPlan, tab, cf, o, d, seed_t,
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
         interpret=interpret,
+        **params,
     )(rays_t, jnp.asarray(plan.nf), jnp.asarray(plan.ni), tab, cf)
     return bt.reshape(-1)[:N], bs.reshape(-1)[:N]
 
@@ -439,7 +474,9 @@ def block_pass(sc, garrs, gi, o, d, seed_t, shadow: bool,
     cf = pack_cons(plan, sc, garrs)
     t, sel2 = block_select(plan, tab, sg(cf), sg(o), sg(d), sg(seed_t),
                            shadow=shadow, interpret=interpret)
+    # table rows are group-local prim order (padded rows duplicate the
+    # last prim): arithmetic map, no gather
     row = sel2 // 2
-    local = jnp.asarray(plan.sel_to_local)[jnp.maximum(row, 0)]
+    local = jnp.minimum(jnp.maximum(row, 0), g.size - 1)
     local2 = local * 2 + sel2 % 2
     return t, jnp.where(sel2 >= 0, local2, -1)

@@ -68,11 +68,17 @@ DENSE_MAX = 96
 
 # plain flat-prim groups larger than this (e.g. 100k-triangle meshes)
 # can't live in the megakernel's SMEM scalar tables (100k tris x 9
-# floats = 3.6 MB vs ~1 MB SMEM); they run as a separate VMEM-streamed
-# dense_intersect launch (Morton block culling) seeded by/merged with
-# the megakernel result.  Flat prims only: their exit slot is always a
+# floats = 3.6 MB vs ~1 MB SMEM); they route to the block-dense kernel
+# (whole table VMEM-resident, ordered block-BVH walk) while the table
+# fits BLOCK_VMEM_MAX, else to the HBM-DMA mesh kernel
+# (mesh_kernel.py).  Flat prims only: their exit slot is always a
 # miss, so the merged winner id needs no slot bit from the kernel.
 MEGA_EXT_MIN = 16384
+
+# param-table budget for keeping a big group VMEM-resident in the
+# block kernel (chip VMEM ~16 MB; rays + outputs + double buffers need
+# the rest)
+BLOCK_VMEM_MAX = 8 * 2**20
 
 # groups larger than this route to the block-dense kernel
 # (block_kernel.py) as a separate seeded launch.  A/B on the real L0
@@ -88,6 +94,18 @@ BLOCK_MIN = MEGA_EXT_MIN
 BLOCK_CONS_MAX = 8
 
 RT = 1024  # rays per tile: one (8, 128) vreg block
+
+# In-kernel BVH phases traverse near-child-first with a per-tile SMEM
+# stack over a strictly binary tree (accel.build_bvh2) instead of the
+# fixed-order skip-link DFS.  The host traversal simulator
+# (tools/sim_traversal.py) measured the ordered walk visiting ~2x
+# fewer nodes per tile on real L0 shadow batches, and the per-node
+# cost is dominated by the scalar/vector sync of the any()-reductions
+# (~0.3 us/step measured vs ~30 ns of vector math), so halving steps
+# halves the dominant launches.  The ordered walk also tests BOTH
+# children per sync.  GLOME_ORDERED=0 falls back to skip-link.
+import os as _os
+ORDERED_BVH = _os.environ.get("GLOME_ORDERED", "1") != "0"
 
 
 def _field_width(ptype):
@@ -117,7 +135,7 @@ CONS_BVH_MIN = 48
 
 @dataclasses.dataclass
 class Phase:
-    kind: str                      # 'dense' | 'bvh' | 'convex' | 'deferred'
+    kind: str          # 'dense' | 'bvh' | 'bvh2' | 'convex' | 'deferred'
     si: int
     gi: int = -1
     ptype: str = ""
@@ -130,10 +148,11 @@ class Phase:
     vis: Tuple[bool, bool] = (True, True)   # static (primary, shadow)
     vis_mixed: bool = False        # per-prim flags live in PI when True
     bb_idx: int = -1               # dense-phase AABB row in BB
-    # bvh
+    # bvh / bvh2
     nf_base: int = 0
     ni_base: int = 0
     n_nodes: int = 0
+    depth: int = 0                 # bvh2 stack bound
     # convex csg: [(ptype, pf_off, F, has_inv, gprim)]
     members: Optional[list] = None
     # deferred prim
@@ -419,8 +438,12 @@ def build_plan(compiled) -> MegaPlan:
                     and g.m_inv is None
                     and g.ptype in ("triangle", "trianglenorm")
                     and g.size > MEGA_EXT_MIN):
-                external.append((si, gi))
-                continue
+                # block kernel packs the select-only field set (9
+                # floats for flat tris, normals are finalize's job)
+                from .block_kernel import _field_width as _sel_width
+                if g.size * _sel_width(g.ptype) * 4 > BLOCK_VMEM_MAX:
+                    external.append((si, gi))
+                    continue
             cons_rows = sum(len(idx) for _pos, members in
                             (g.constraints or []) for _gi2, idx in members)
             if (g.size > BLOCK_MIN and g.ptype != "plane"
@@ -432,11 +455,16 @@ def build_plan(compiled) -> MegaPlan:
             perm = None
             bvh = None
             if use_bvh:
-                bvh = g.accel
-                if bvh is None:
+                if ORDERED_BVH:
                     if gi not in bounds_cache:
                         bounds_cache[gi] = A.group_bounds(g)
-                    bvh = A.build_bvh(*bounds_cache[gi])
+                    bvh = A.build_bvh2(*bounds_cache[gi])
+                else:
+                    bvh = g.accel
+                    if bvh is None:
+                        if gi not in bounds_cache:
+                            bounds_cache[gi] = A.group_bounds(g)
+                        bvh = A.build_bvh(*bounds_cache[gi])
                 perm = np.asarray(bvh.order, np.int32)
             base, F, pib = add_group_pf(si, gi, g, perm)
             cons = None
@@ -448,19 +476,29 @@ def build_plan(compiled) -> MegaPlan:
                 nf_parts.append(np.concatenate(
                     [np.asarray(bvh.bmin, np.float32),
                      np.asarray(bvh.bmax, np.float32)], axis=1).reshape(-1))
-                ni_parts.append(np.stack(
-                    [np.asarray(bvh.skip, np.int32),
-                     np.asarray(bvh.leaf_start, np.int32),
-                     np.asarray(bvh.leaf_count, np.int32)],
-                    axis=1).reshape(-1))
+                if ORDERED_BVH:
+                    ni_parts.append(np.stack(
+                        [np.asarray(bvh.left, np.int32),
+                         np.asarray(bvh.right, np.int32),
+                         np.asarray(bvh.leaf_start, np.int32),
+                         np.asarray(bvh.leaf_count, np.int32)],
+                        axis=1).reshape(-1))
+                else:
+                    ni_parts.append(np.stack(
+                        [np.asarray(bvh.skip, np.int32),
+                         np.asarray(bvh.leaf_start, np.int32),
+                         np.asarray(bvh.leaf_count, np.int32)],
+                        axis=1).reshape(-1))
                 nf_off += nf_parts[-1].shape[0]
                 ni_off += ni_parts[-1].shape[0]
                 phases.append(Phase(
-                    "bvh", si, gi=gi, ptype=g.ptype,
+                    "bvh2" if ORDERED_BVH else "bvh", si, gi=gi,
+                    ptype=g.ptype,
                     transformed=g.m_inv is not None, P=g.size,
                     pf_base=base, F=F, pi_base=pib, cons=cons,
                     vis=vis, vis_mixed=vis_mixed,
-                    nf_base=nfb, ni_base=nib, n_nodes=bvh.n_nodes))
+                    nf_base=nfb, ni_base=nib, n_nodes=bvh.n_nodes,
+                    depth=getattr(bvh, "depth", 0)))
             else:
                 bb_idx = -1
                 if g.ptype != "plane":
@@ -651,7 +689,7 @@ def mega_select(plan: MegaPlan, pf, bb, o, d, seed_t, sid=None,
               and (multi or ph.si == scene_id)]
 
     def kernel(rays_ref, pf_ref, pi_ref, nf_ref, ni_ref, bb_ref,
-               out_t, out_w, out_a):
+               out_t, out_w, out_a, stack_ref):
         def rc(c):
             return rays_ref[c, 0]                       # (8, 128)
 
@@ -983,6 +1021,121 @@ def mega_select(plan: MegaPlan, pf, bb, o, d, seed_t, sid=None,
                 return jax.lax.cond(cond, body, lambda a: a, (bt, bw))
             return body((bt, bw))
 
+        def emit_bvh2(ph, bt, bw):
+            """Near-child-first ordered walk over a strictly binary
+            tree (accel.build_bvh2) with a per-tile SMEM stack: both
+            children slab-tested per scalar sync, the nearer one
+            descended first (one scalar vote across lanes), the far
+            one pushed -- the TPU analog of the reference's
+            interval-narrowed recursion (Bih.hs:332-368).  Near-first
+            order lets the running best-t prune far subtrees, and the
+            host simulator (tools/sim_traversal.py) measured ~2x fewer
+            node visits than the skip-link DFS on real shadow batches;
+            per-node cost is dominated by the scalar/vector sync, so
+            fewer+fatter steps win."""
+            rok = phase_ray_ok(ph)
+            from .accel import LEAF_MAX
+
+            def leaf_tests(bt, bw, ls, lc):
+                for k in range(LEAF_MAX):
+                    p = jnp.minimum(ls + k, ph.P - 1)
+                    ok = (k < lc) & prim_ok(ph, p, rok)
+                    if shadow:
+                        ok = ok & sh_undone(bt)
+                    bt, bw = prim_test(ph, ph.pf_base + p * ph.F,
+                                       pi_ref[ph.pi_base + p * 2],
+                                       ok, bt, bw)
+                return bt, bw
+
+            def slab2(node, bt, gate):
+                nb = ph.nf_base + node * 6
+                t1x = (nf_ref[nb + 0] - ox) * ivx
+                t2x = (nf_ref[nb + 3] - ox) * ivx
+                t1y = (nf_ref[nb + 1] - oy) * ivy
+                t2y = (nf_ref[nb + 4] - oy) * ivy
+                t1z = (nf_ref[nb + 2] - oz) * ivz
+                t2z = (nf_ref[nb + 5] - oz) * ivz
+                near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                               jnp.minimum(t1y, t2y)),
+                                   jnp.minimum(t1z, t2z))
+                far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                              jnp.maximum(t1y, t2y)),
+                                  jnp.maximum(t1z, t2z))
+                hit = (near <= far) & (far > 0.0) & (near < bt) & gate
+                return hit, near
+
+            def body(args):
+                def step(st):
+                    node, sp, bt, bw = st
+                    nib = ph.ni_base + node * 4
+                    lc = ni_ref[nib + 3]
+
+                    def do_leaf(a):
+                        bt, bw, sp = a
+                        bt, bw = leaf_tests(bt, bw, ni_ref[nib + 2], lc)
+                        return jnp.int32(-1), sp, bt, bw
+
+                    def do_inner(a):
+                        bt, bw, sp = a
+                        gate = rok if rok is not None else (seed > -1.0)
+                        if shadow:
+                            gate = gate & sh_undone(bt)
+                        left = ni_ref[nib]
+                        right = ni_ref[nib + 1]
+                        hL, nL = slab2(left, bt, gate)
+                        hR, nR = slab2(right, bt, gate)
+                        anyL = jnp.any(hL)
+                        anyR = jnp.any(hR)
+                        both = anyL & anyR
+                        l_first = jnp.sum(
+                            jnp.where(hL & hR, nR - nL, 0.0)) >= 0.0
+                        first = jnp.where(
+                            both, jnp.where(l_first, left, right),
+                            jnp.where(anyL, left,
+                                      jnp.where(anyR, right,
+                                                jnp.int32(-1))))
+                        second = jnp.where(
+                            both, jnp.where(l_first, right, left),
+                            jnp.int32(-1))
+
+                        @pl.when(second >= 0)
+                        def _():
+                            stack_ref[sp] = second
+                        sp = jnp.where(second >= 0, sp + 1, sp)
+                        return first, sp, bt, bw
+
+                    node, sp, bt, bw = jax.lax.cond(
+                        lc > 0, do_leaf, do_inner, (bt, bw, sp))
+                    if shadow:
+                        # any-hit early exit: drain once every live
+                        # lane is blocked
+                        done = ~jnp.any(sh_undone(bt))
+                        node = jnp.where(done, jnp.int32(-1), node)
+                        sp = jnp.where(done, jnp.int32(0), sp)
+                    do_pop = (node < 0) & (sp > 0)
+                    popped = stack_ref[jnp.maximum(sp - 1, 0)]
+                    node = jnp.where(do_pop, popped, node)
+                    sp = jnp.where(do_pop, sp - 1, sp)
+                    return node, sp, bt, bw
+
+                bt, bw = args
+                _, _, bt, bw = jax.lax.while_loop(
+                    lambda st: st[0] >= 0, step,
+                    (jnp.int32(0), jnp.int32(0), bt, bw))
+                return bt, bw
+
+            conds = []
+            if rok is not None:
+                conds.append(jnp.any(rok))
+            if shadow:
+                conds.append(jnp.any(sh_undone(bt)))
+            if conds:
+                cond = conds[0]
+                for c in conds[1:]:
+                    cond = cond & c
+                return jax.lax.cond(cond, body, lambda a: a, (bt, bw))
+            return body((bt, bw))
+
         def member_interval(ptype, off, F, has_inv):
             """Exact world [t_in, t_out] of one convex member; empty ->
             [INF, -INF]-style extremes handled by max/min."""
@@ -1145,6 +1298,8 @@ def mega_select(plan: MegaPlan, pf, bb, o, d, seed_t, sid=None,
                 bt, bw = emit_dense(ph, bt, bw)
             elif ph.kind == "bvh":
                 bt, bw = emit_bvh(ph, bt, bw)
+            elif ph.kind == "bvh2":
+                bt, bw = emit_bvh2(ph, bt, bw)
             elif ph.kind == "convex":
                 bt, bw = emit_convex(ph, bt, bw)
             else:
@@ -1168,9 +1323,12 @@ def mega_select(plan: MegaPlan, pf, bb, o, d, seed_t, sid=None,
     blk = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     out_specs = (blk, blk, blk)
+    stack_n = max([ph.depth for ph in phases if ph.kind == "bvh2"]
+                  + [6]) + 2
     bt, bw, ba = pl.pallas_call(
         kernel,
         grid=(T,),
+        scratch_shapes=[pltpu.SMEM((stack_n,), jnp.int32)],
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -1204,8 +1362,7 @@ def finalize(compiled, plan: MegaPlan, arrays, o, d, t, wid, aux=None,
     norm = jnp.zeros((N, 3), dt)
     obj_o, obj_d = o, d
 
-    # ONE static-metadata gather: [tex*4, tag*4, serial, neg, cid, row,
-    # useatex]
+    # static metadata: [tex*4, tag*4, serial, neg, cid, row, useatex]
     meta_tab = getattr(plan, "_meta_tab", None)
     if meta_tab is None:
         meta_tab = np.concatenate(
@@ -1215,45 +1372,64 @@ def finalize(compiled, plan: MegaPlan, arrays, o, d, t, wid, aux=None,
              plan.atex_all[:, None].astype(np.int32)],
             axis=1).astype(np.int32)
         plan._meta_tab = meta_tab
-    meta = jnp.asarray(meta_tab)[prim]
+    MW = meta_tab.shape[1]
     TD = plan.tex_all.shape[1]
     GD = plan.tag_all.shape[1]
+
+    # param table in GLOBAL PRIM order, one padded row per prim, with
+    # the int32 metadata carried alongside AS FLOAT VALUES: per-ray TPU
+    # gathers pay for the full 128-lane row regardless of width, so ONE
+    # (N, f_max+MW) gather costs the same as the old 13-column metadata
+    # gather alone and replaces TWO (the separate combo-row param
+    # gather was ~32 ms at 1080p).  Values, NOT a bitcast: TPU float
+    # paths flush denormals and canonicalize NaNs, destroying reinterpreted
+    # int bits; every meta value is a small integer (< 2^24), which
+    # float32 carries exactly.
+    f_max = max((_field_width(pt) + (12 if tr else 0)
+                 for pt, tr, _g, _w in plan.combos), default=1)
+    from .compile import group_device_params
+    tabs = []
+    for si, sc in enumerate(compiled.scenes):
+        for gi, g in enumerate(sc.groups):
+            if g.size == 0:
+                continue
+            ga = group_device_params(g, arrays["scenes"][si][gi])
+            cols = []
+            for name, _wd in FIELDS[g.ptype]:
+                v = jnp.asarray(ga[name])
+                cols.append(v.reshape(v.shape[0], -1) if v.ndim > 1
+                            else v[:, None])
+            if g.m_inv is not None:
+                cols.append(jnp.asarray(ga["m_inv"]).reshape(-1, 12))
+            rows_k = jnp.concatenate(cols, axis=-1).astype(dt)
+            if rows_k.shape[1] < f_max:
+                rows_k = jnp.concatenate(
+                    [rows_k, jnp.zeros((rows_k.shape[0],
+                                        f_max - rows_k.shape[1]), dt)],
+                    axis=-1)
+            tabs.append(rows_k)
+    if tabs:
+        metaf_np = getattr(plan, "_meta_tab_f32", None)
+        if metaf_np is None:
+            assert np.abs(meta_tab).max(initial=0) < 2 ** 24, \
+                "meta values no longer exact in f32"
+            metaf_np = meta_tab.astype(np.float32)
+            plan._meta_tab_f32 = metaf_np
+        ptab = tabs[0] if len(tabs) == 1 else jnp.concatenate(tabs, axis=0)
+        metaf = jnp.asarray(metaf_np)
+        comb = jnp.concatenate([ptab, metaf.astype(dt)], axis=1)
+        crow = comb[prim]                          # (N, f_max + MW)
+        prow = crow[:, :f_max]
+        meta = crow[:, f_max:].astype(jnp.int32)
+    else:
+        meta = jnp.asarray(meta_tab)[prim]
+
     tex = jnp.where(hit[:, None], meta[:, :TD], -1)
     tag = jnp.where(hit[:, None], meta[:, TD:TD + GD], -1)
     ser = jnp.where(hit, meta[:, TD + GD], -1)
     neg = (meta[:, TD + GD + 1] > 0) & hit
     cid = meta[:, TD + GD + 2]
-    row = meta[:, TD + GD + 3]
     atex = (meta[:, TD + GD + 4] > 0) & hit
-
-    # ONE param gather from the unified padded table (differentiable)
-    f_max = max((_field_width(pt) + (12 if tr else 0)
-                 for pt, tr, _g, _w in plan.combos), default=1)
-    from .compile import group_device_params
-    tabs = []
-    for ptype, transformed, glist, _w in plan.combos:
-        gas = [group_device_params(compiled.scenes[si].groups[gi],
-                                   arrays["scenes"][si][gi])
-               for (si, gi) in glist]
-        cols = []
-        for name, _wd in FIELDS[ptype]:
-            vs = [jnp.asarray(ga[name]) for ga in gas]
-            v = vs[0] if len(vs) == 1 else jnp.concatenate(vs, axis=0)
-            cols.append(v.reshape(v.shape[0], -1) if v.ndim > 1
-                        else v[:, None])
-        if transformed:
-            vs = [jnp.asarray(ga["m_inv"]) for ga in gas]
-            v = vs[0] if len(vs) == 1 else jnp.concatenate(vs, axis=0)
-            cols.append(v.reshape(-1, 12))
-        rows_k = jnp.concatenate(cols, axis=-1).astype(dt)
-        if rows_k.shape[1] < f_max:
-            rows_k = jnp.concatenate(
-                [rows_k, jnp.zeros((rows_k.shape[0],
-                                    f_max - rows_k.shape[1]), dt)], axis=-1)
-        tabs.append(rows_k)
-    if tabs:
-        ptab = tabs[0] if len(tabs) == 1 else jnp.concatenate(tabs, axis=0)
-        prow = ptab[row]                                   # (N, f_max)
 
     ident34 = jnp.asarray(
         np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0]], np.float32)

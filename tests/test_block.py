@@ -65,4 +65,4 @@ def test_default_threshold_keeps_testscene_in_phases():
     compiled = G.compile_scene(solid, lights)
     plan = MK.get_plan(compiled)
     assert not plan.blocks
-    assert any(p.kind == "bvh" for p in plan.phases)
+    assert any(p.kind in ("bvh", "bvh2") for p in plan.phases)

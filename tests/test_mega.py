@@ -96,8 +96,9 @@ def test_plan_phases(scene):
     compiled, arrays = scene
     plan = MK.get_plan(compiled)
     kinds = {ph.kind for ph in plan.phases}
-    assert kinds == {"dense", "bvh", "convex", "deferred"}
-    bvh_ph = [ph for ph in plan.phases if ph.kind == "bvh"]
+    bvh_kind = "bvh2" if MK.ORDERED_BVH else "bvh"
+    assert kinds == {"dense", bvh_kind, "convex", "deferred"}
+    bvh_ph = [ph for ph in plan.phases if ph.kind == bvh_kind]
     assert any(ph.transformed for ph in bvh_ph)
     # the deferred B prim's restricted scan must be a strict subset
     dp = [ph for ph in plan.phases if ph.kind == "deferred"]

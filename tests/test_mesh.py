@@ -138,6 +138,7 @@ def test_mega_external_group_offload(monkeypatch):
     the megakernel result (MEGA_EXT_MIN); parity with the jnp path."""
     from glome_tpu import megakernel as MK
     monkeypatch.setattr(MK, "MEGA_EXT_MIN", 8)
+    monkeypatch.setattr(MK, "BLOCK_VMEM_MAX", 0)
 
     rng = np.random.default_rng(3)
     V = rng.uniform(-1, 1, (40, 3))
@@ -167,6 +168,47 @@ def test_mega_external_group_offload(monkeypatch):
     # shadow variant
     tm = jnp.full((o.shape[0],), 8.0, jnp.float32)
     gs = MK.mega_shadow(compiled, arrays, o, d, tmax=tm, interpret=True)
+    from glome_tpu.intersect import shadow_query
+    ws = shadow_query(compiled, arrays, 0, o, d, tm)
+    np.testing.assert_array_equal(np.asarray(gs), np.asarray(ws))
+
+
+def test_mega_mesh_block_routing(monkeypatch):
+    """VMEM-sized mesh groups route to the block kernel (whole table
+    resident, ordered walk) instead of the HBM-DMA external pass;
+    parity with the jnp path, intersect and shadow."""
+    from glome_tpu import megakernel as MK
+    monkeypatch.setattr(MK, "MEGA_EXT_MIN", 8)
+    monkeypatch.setattr(MK, "BLOCK_MIN", 8)
+
+    rng = np.random.default_rng(7)
+    V = rng.uniform(-1, 1, (40, 3))
+    tri_idx = rng.integers(0, 40, (60, 3)).astype(np.int32)
+    ok = (tri_idx[:, 0] != tri_idx[:, 1]) & (tri_idx[:, 1] != tri_idx[:, 2])
+    tri_idx = tri_idx[ok]
+    tris = np.concatenate([tri_idx, np.full((len(tri_idx), 5), -1,
+                                            np.int32)], axis=1)
+    solid = G.group([G.mesh(V, None, tris),
+                     G.sphere((0, 0, 3.0), 0.5)])
+    compiled = G.compile_scene(solid, (light((0, 5, 0), (10, 10, 10)),))
+    from glome_tpu import megakernel as MK2
+    plan = MK2.get_plan(compiled)
+    assert plan.blocks and not plan.external
+    arrays = compiled.arrays()
+    o = rng.uniform(-2, 2, (300, 3)).astype(np.float32)
+    o[:, 2] = -4.0
+    at = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+    d = at - o
+    d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    got = MK2.mega_intersect(compiled, arrays, o, d, interpret=True)
+    want = intersect(compiled, arrays, 0, o, d)
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(want.t),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.prim_serial),
+                                  np.asarray(want.prim_serial))
+    tm = jnp.full((o.shape[0],), 8.0, jnp.float32)
+    gs = MK2.mega_shadow(compiled, arrays, o, d, tmax=tm, interpret=True)
     from glome_tpu.intersect import shadow_query
     ws = shadow_query(compiled, arrays, 0, o, d, tm)
     np.testing.assert_array_equal(np.asarray(gs), np.asarray(ws))

@@ -66,10 +66,10 @@ pf, bb = jax.block_until_ready(
 
 subsets = {
     "all": lambda ph: True,
-    "no_bvh": lambda ph: ph.kind != "bvh",
-    "bvh_only": lambda ph: ph.kind == "bvh",
-    "bvh_spheres": lambda ph: ph.kind == "bvh" and ph.ptype == "sphere",
-    "bvh_cones": lambda ph: ph.kind == "bvh" and ph.ptype == "cone",
+    "no_bvh": lambda ph: ph.kind not in ("bvh", "bvh2"),
+    "bvh_only": lambda ph: ph.kind in ("bvh", "bvh2"),
+    "bvh_spheres": lambda ph: ph.kind in ("bvh", "bvh2") and ph.ptype == "sphere",
+    "bvh_cones": lambda ph: ph.kind in ("bvh", "bvh2") and ph.ptype == "cone",
     "deferred_only": lambda ph: ph.kind == "deferred",
     "dense_convex": lambda ph: ph.kind in ("dense", "convex"),
 }

@@ -29,8 +29,8 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
-N_RAYS = 65536          # global batch, fixed across device counts
-REPS = 5
+N_RAYS = 262144         # global batch, fixed across device counts
+REPS = 7
 
 
 def measure(n: int) -> float:
