@@ -224,7 +224,7 @@ def pack_cons(plan: BlockPlan, sc, garrs) -> jnp.ndarray:
 
 def block_select(plan: BlockPlan, tab, cf, o, d, seed_t,
                  shadow: bool = False,
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None, rays6=None):
     """(t, sel2) nearest valid candidate of this group per ray.
 
     sel2 = row * 2 + slot (slot 0 entry / 1 exit), -1 where nothing
@@ -232,16 +232,25 @@ def block_select(plan: BlockPlan, tab, cf, o, d, seed_t,
     duplicate the last prim; clamp)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    N = o.shape[0]
     bp = plan.bp
-    T = pl.cdiv(N, RT)
-    pad = T * RT - N
-    rays8 = jnp.stack([o[:, 0], o[:, 1], o[:, 2],
-                       d[:, 0], d[:, 1], d[:, 2],
-                       seed_t, jnp.zeros_like(seed_t)])
-    if pad:
-        fill = jnp.zeros((8, pad), rays8.dtype).at[5].set(1.0)
-        rays8 = jnp.concatenate([rays8, fill], axis=1)
+    if rays6 is not None:
+        # plane-table path: rows [o*3, d*3] pass through, only the
+        # seed row is (re)built -- no (N,3)-column transpose
+        N = rays6.shape[1]
+        assert N % RT == 0
+        T = N // RT
+        rays8 = jnp.concatenate(
+            [rays6, seed_t[None], jnp.zeros_like(seed_t)[None]])
+    else:
+        N = o.shape[0]
+        T = pl.cdiv(N, RT)
+        pad = T * RT - N
+        rays8 = jnp.stack([o[:, 0], o[:, 1], o[:, 2],
+                           d[:, 0], d[:, 1], d[:, 2],
+                           seed_t, jnp.zeros_like(seed_t)])
+        if pad:
+            fill = jnp.zeros((8, pad), rays8.dtype).at[5].set(1.0)
+            rays8 = jnp.concatenate([rays8, fill], axis=1)
     rays_t = rays8.reshape(8, T, 8, 128)
 
     tker = _T_KERNELS[plan.ptype]
@@ -435,7 +444,8 @@ def block_select(plan: BlockPlan, tab, cf, o, d, seed_t,
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
-    out_shape = (jax.ShapeDtypeStruct((T, 8, 128), o.dtype),
+    rdt = rays6.dtype if rays6 is not None else o.dtype
+    out_shape = (jax.ShapeDtypeStruct((T, 8, 128), rdt),
                  jax.ShapeDtypeStruct((T, 8, 128), jnp.int32))
     blk = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -461,7 +471,7 @@ def block_select(plan: BlockPlan, tab, cf, o, d, seed_t,
 
 
 def block_pass(sc, garrs, gi, o, d, seed_t, shadow: bool,
-               interpret: Optional[bool] = None):
+               interpret: Optional[bool] = None, rays6=None):
     """(t, local2): local2 = group-local prim * 2 + slot, -1 = none."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -472,8 +482,12 @@ def block_pass(sc, garrs, gi, o, d, seed_t, shadow: bool,
           if k != "m_fwd"}
     tab = pack_blocks(plan, ga)
     cf = pack_cons(plan, sc, garrs)
-    t, sel2 = block_select(plan, tab, sg(cf), sg(o), sg(d), sg(seed_t),
-                           shadow=shadow, interpret=interpret)
+    t, sel2 = block_select(plan, tab, sg(cf),
+                           None if rays6 is not None else sg(o),
+                           None if rays6 is not None else sg(d),
+                           sg(seed_t), shadow=shadow,
+                           interpret=interpret,
+                           rays6=None if rays6 is None else sg(rays6))
     # table rows are group-local prim order (padded rows duplicate the
     # last prim): arithmetic map, no gather
     row = sel2 // 2

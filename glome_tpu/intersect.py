@@ -1119,3 +1119,17 @@ def shadow_query_multi(compiled, arrays, o, d, sid, tmax):
         return MK.mega_shadow(compiled, arrays, o, d, sid=sid, tmax=tmax)
     h = intersect_multi(compiled, arrays, o, d, sid, tmax=tmax, shadow=True)
     return h.hit
+
+
+def shadow_query_multi_rays(compiled, arrays, rays):
+    """Plane-table variant: rays is (8, W) [o*3, d*3, tmax, sid] with W
+    a multiple of 1024, dead lanes tmax 0 / sid -1.  Layout-friendly:
+    the TPU path passes rows straight into the kernels with no
+    (N,3)-column transposes."""
+    if _mega_enabled():
+        from . import megakernel as MK
+        return MK.mega_shadow(compiled, arrays, rays=rays)
+    o = jnp.stack([rays[0], rays[1], rays[2]], axis=-1)
+    d = jnp.stack([rays[3], rays[4], rays[5]], axis=-1)
+    return shadow_query_multi(compiled, arrays, o, d,
+                              rays[7].astype(jnp.int32), rays[6])

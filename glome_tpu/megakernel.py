@@ -655,35 +655,46 @@ def pack_tables(plan: MegaPlan, compiled, arrays):
 
 # --- the kernel -------------------------------------------------------------
 
-def mega_select(plan: MegaPlan, pf, bb, o, d, seed_t, sid=None,
-                shadow: bool = False, interpret: Optional[bool] = None,
-                scene_id: int = 0):
+def mega_select(plan: MegaPlan, pf, bb, o=None, d=None, seed_t=None,
+                sid=None, shadow: bool = False,
+                interpret: Optional[bool] = None, scene_id: int = 0,
+                rays=None, multi: Optional[bool] = None):
     """Single-launch nearest-valid-candidate selection.
 
     o, d: (N, 3); seed_t: (N,) start best (min(tmax, INFINITY)); sid:
     (N,) int32 per-ray scene id or None (all rays in `scene_id`).
+    Alternatively `rays` is a prebuilt (8, N) component-plane table
+    [ox,oy,oz,dx,dy,dz,seed,sid] (N a multiple of 1024; dead lanes
+    seed 0) -- the layout-friendly path: callers that already hold
+    component planes skip the (N,3)-column transpose here.  With
+    `rays`, pass multi=True when row 7 carries per-ray scene ids.
     Returns (t, wid) with t == seed where nothing nearer and wid == -1
     on miss, else wid = global_prim * 2 + slot.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    N = o.shape[0]
     vi = 1 if shadow else 0
-    multi = sid is not None
-
-    T = pl.cdiv(N, RT)
-    pad = T * RT - N
-    sid_f = (jnp.zeros((N,), jnp.float32) if sid is None
-             else sid.astype(jnp.float32))
-    rays8 = jnp.stack([o[:, 0], o[:, 1], o[:, 2],
-                       d[:, 0], d[:, 1], d[:, 2],
-                       seed_t, sid_f])
-    if pad:
-        fill = jnp.zeros((8, pad), rays8.dtype).at[5].set(1.0)
-        if multi:
-            fill = fill.at[7].set(-1.0)
-        rays8 = jnp.concatenate([rays8, fill], axis=1)
-    rays_t = rays8.reshape(8, T, 8, 128)
+    if rays is not None:
+        N = rays.shape[1]
+        assert N % RT == 0
+        T = N // RT
+        rays_t = rays.reshape(8, T, 8, 128)
+    else:
+        multi = sid is not None
+        N = o.shape[0]
+        T = pl.cdiv(N, RT)
+        pad = T * RT - N
+        sid_f = (jnp.zeros((N,), jnp.float32) if sid is None
+                 else sid.astype(jnp.float32))
+        rays8 = jnp.stack([o[:, 0], o[:, 1], o[:, 2],
+                           d[:, 0], d[:, 1], d[:, 2],
+                           seed_t, sid_f])
+        if pad:
+            fill = jnp.zeros((8, pad), rays8.dtype).at[5].set(1.0)
+            if multi:
+                fill = fill.at[7].set(-1.0)
+            rays8 = jnp.concatenate([rays8, fill], axis=1)
+        rays_t = rays8.reshape(8, T, 8, 128)
 
     phases = [ph for ph in plan.phases if ph.vis[vi]
               and (multi or ph.si == scene_id)]
@@ -1317,7 +1328,8 @@ def mega_select(plan: MegaPlan, pf, bb, o, d, seed_t, sid=None,
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
-    out_shape = (jax.ShapeDtypeStruct((T, 8, 128), o.dtype),
+    rdt = rays.dtype if rays is not None else o.dtype
+    out_shape = (jax.ShapeDtypeStruct((T, 8, 128), rdt),
                  jax.ShapeDtypeStruct((T, 8, 128), jnp.int32),
                  jax.ShapeDtypeStruct((T, 8, 128), jnp.float32))
     blk = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
@@ -1522,16 +1534,18 @@ def mega_intersect(compiled, arrays, o, d, sid=None, tmax=None,
 
 
 def _run_blocks(compiled, plan, arrays, o, d, sid, t, wid, shadow,
-                scene_id):
+                scene_id, rays=None):
     """Merge the block-dense groups (plan.blocks): each is one seeded
-    block_kernel launch; the chain keeps cross-group best-t culling."""
+    block_kernel launch; the chain keeps cross-group best-t culling.
+    With `rays` (the (8,N) plane table), ray components pass through as
+    rows and per-ray scene ids come from row 7."""
     if not plan.blocks:
         return t, wid
     from .compile import materialize_scene_params
     from .block_kernel import block_pass
     sg = jax.lax.stop_gradient
     for si, gi in plan.blocks:
-        if sid is None and si != scene_id:
+        if rays is None and sid is None and si != scene_id:
             continue
         sc = compiled.scenes[si]
         g = sc.groups[gi]
@@ -1539,14 +1553,21 @@ def _run_blocks(compiled, plan, arrays, o, d, sid, t, wid, shadow,
                 (not shadow and bool(g.onlyshadow.all())):
             continue
         garrs = materialize_scene_params(sc, arrays["scenes"][si])
-        seed_g = t if sid is None else jnp.where(
-            sg(sid) == si, t, jnp.zeros_like(t))
+        if rays is not None:
+            seed_g = jnp.where(rays[7] == float(si), t, jnp.zeros_like(t))
+        else:
+            seed_g = t if sid is None else jnp.where(
+                sg(sid) == si, t, jnp.zeros_like(t))
         if shadow:
             # already-blocked lanes are done: zero their seed so they
             # don't drag tiles through the walk (any-hit semantics)
             seed_g = jnp.where(wid >= 0, jnp.zeros_like(seed_g), seed_g)
-        t2, l2 = block_pass(sc, garrs, gi, sg(o), sg(d), sg(seed_g),
-                            shadow)
+        if rays is not None:
+            t2, l2 = block_pass(sc, garrs, gi, None, None, sg(seed_g),
+                                shadow, rays6=rays[:6])
+        else:
+            t2, l2 = block_pass(sc, garrs, gi, sg(o), sg(d), sg(seed_g),
+                                shadow)
         better = (t2 < seed_g) & (l2 >= 0)
         base = plan.prim_base[(si, gi)][0]
         wid = jnp.where(better, base * 2 + jnp.maximum(l2, 0), wid)
@@ -1555,7 +1576,7 @@ def _run_blocks(compiled, plan, arrays, o, d, sid, t, wid, shadow,
 
 
 def _run_external(compiled, plan, arrays, o, d, sid, t, wid, shadow,
-                  scene_id):
+                  scene_id, rays=None):
     """Merge the oversized flat-prim groups (plan.external): each runs
     as one VMEM-streamed dense_intersect launch seeded with the
     megakernel's best t, so the cheaper pass culls the other."""
@@ -1565,7 +1586,7 @@ def _run_external(compiled, plan, arrays, o, d, sid, t, wid, shadow,
     from .mesh_kernel import mesh_block_pass
     sg = jax.lax.stop_gradient
     for si, gi in plan.external:
-        if sid is None and si != scene_id:
+        if rays is None and sid is None and si != scene_id:
             continue
         sc = compiled.scenes[si]
         g = sc.groups[gi]
@@ -1573,14 +1594,22 @@ def _run_external(compiled, plan, arrays, o, d, sid, t, wid, shadow,
                 (not shadow and bool(g.onlyshadow.all())):
             continue
         garrs = materialize_scene_params(sc, arrays["scenes"][si])
-        seed_g = t if sid is None else jnp.where(
-            sg(sid) == si, t, jnp.zeros_like(t))
+        if rays is not None:
+            seed_g = jnp.where(rays[7] == float(si), t, jnp.zeros_like(t))
+        else:
+            seed_g = t if sid is None else jnp.where(
+                sg(sid) == si, t, jnp.zeros_like(t))
         if shadow:
             # already-blocked lanes are done: zero their seed so they
             # don't drag tiles through the walk (any-hit semantics)
             seed_g = jnp.where(wid >= 0, jnp.zeros_like(seed_g), seed_g)
-        t2, bl2 = mesh_block_pass(sc, garrs, gi, sg(o), sg(d), sg(seed_g),
-                                  shadow)
+        if rays is not None:
+            t2, bl2 = mesh_block_pass(sc, garrs, gi, None, None,
+                                      sg(seed_g), shadow,
+                                      rays6=rays[:6])
+        else:
+            t2, bl2 = mesh_block_pass(sc, garrs, gi, sg(o), sg(d),
+                                      sg(seed_g), shadow)
         better = t2 < seed_g
         base = plan.prim_base[(si, gi)][0]
         # flat prims: the exit slot is always a miss, so slot bit = 0
@@ -1589,16 +1618,34 @@ def _run_external(compiled, plan, arrays, o, d, sid, t, wid, shadow,
     return t, wid
 
 
-def mega_shadow(compiled, arrays, o, d, sid=None, tmax=None,
-                scene_id: int = 0, interpret: Optional[bool] = None):
-    """Any-hit occlusion query: select-only, no finalize at all."""
+def mega_shadow(compiled, arrays, o=None, d=None, sid=None, tmax=None,
+                scene_id: int = 0, interpret: Optional[bool] = None,
+                rays=None):
+    """Any-hit occlusion query: select-only, no finalize at all.
+
+    Either (o, d [, sid, tmax]) (N,3)-column form, or `rays` = a
+    prebuilt (8, N) plane table [o*3, d*3, tmax, sid] with N a
+    multiple of 1024, dead lanes tmax 0 and sid -1 -- the
+    layout-friendly path for tile-granular shadow batches."""
     plan = get_plan(compiled)
+    sg = jax.lax.stop_gradient
+    pf, bb = pack_tables(plan, compiled, arrays)
+    if rays is not None:
+        rays = sg(rays)
+        t, wid, _ = mega_select(plan, pf, bb, shadow=True,
+                                interpret=interpret, scene_id=scene_id,
+                                rays=rays, multi=True)
+        t, wid = _run_blocks(compiled, plan, arrays, None, None, None,
+                             t, wid, shadow=True, scene_id=scene_id,
+                             rays=rays)
+        t, wid = _run_external(compiled, plan, arrays, None, None, None,
+                               t, wid, shadow=True, scene_id=scene_id,
+                               rays=rays)
+        return wid >= 0
     N = o.shape[0]
     if tmax is None:
         tmax = jnp.full((N,), INFINITY, dtype=o.dtype)
     seed = jnp.minimum(tmax, INFINITY)
-    sg = jax.lax.stop_gradient
-    pf, bb = pack_tables(plan, compiled, arrays)
     t, wid, _ = mega_select(plan, pf, bb, sg(o), sg(d), sg(seed),
                             sid=None if sid is None else sg(sid),
                             shadow=True, interpret=interpret,

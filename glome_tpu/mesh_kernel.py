@@ -104,21 +104,28 @@ def pack_tri_blocks(plan: MeshBlockPlan, params):
 
 def mesh_block_select(plan: MeshBlockPlan, tri_blocks, o, d, seed_t,
                       shadow: bool = False,
-                      interpret: Optional[bool] = None):
+                      interpret: Optional[bool] = None, rays6=None):
     """(t, sel): nearest triangle of the block-BVH'd group per ray.
     sel indexes the PERMUTED tri table (map through plan.sel_to_local);
     -1 where nothing beat seed_t."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    N = o.shape[0]
-    T = pl.cdiv(N, BN)
-    pad = T * BN - N
-    rays8 = jnp.stack([o[:, 0], o[:, 1], o[:, 2],
-                       d[:, 0], d[:, 1], d[:, 2],
-                       seed_t, jnp.zeros_like(seed_t)])
-    if pad:
-        fill = jnp.zeros((8, pad), rays8.dtype).at[5].set(1.0)
-        rays8 = jnp.concatenate([rays8, fill], axis=1)
+    if rays6 is not None:
+        N = rays6.shape[1]
+        assert N % BN == 0
+        T = N // BN
+        rays8 = jnp.concatenate(
+            [rays6, seed_t[None], jnp.zeros_like(seed_t)[None]])
+    else:
+        N = o.shape[0]
+        T = pl.cdiv(N, BN)
+        pad = T * BN - N
+        rays8 = jnp.stack([o[:, 0], o[:, 1], o[:, 2],
+                           d[:, 0], d[:, 1], d[:, 2],
+                           seed_t, jnp.zeros_like(seed_t)])
+        if pad:
+            fill = jnp.zeros((8, pad), rays8.dtype).at[5].set(1.0)
+            rays8 = jnp.concatenate([rays8, fill], axis=1)
 
     M = plan.n_nodes
     F = plan.F
@@ -212,7 +219,8 @@ def mesh_block_select(plan: MeshBlockPlan, tri_blocks, o, d, seed_t,
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
-    out_shape = (jax.ShapeDtypeStruct((1, T * BN), o.dtype),
+    rdt = rays6.dtype if rays6 is not None else o.dtype
+    out_shape = (jax.ShapeDtypeStruct((1, T * BN), rdt),
                  jax.ShapeDtypeStruct((1, T * BN), jnp.int32))
     out_specs = (pl.BlockSpec((1, BN), lambda i: (0, i),
                               memory_space=pltpu.VMEM),
@@ -232,7 +240,7 @@ def mesh_block_select(plan: MeshBlockPlan, tri_blocks, o, d, seed_t,
 
 
 def mesh_block_pass(sc, garrs, gi, o, d, seed_t, shadow: bool,
-                    interpret: Optional[bool] = None):
+                    interpret: Optional[bool] = None, rays6=None):
     """dense_pass-compatible wrapper: (t, group-local winner)."""
     g = sc.groups[gi]
     plan = get_block_plan(g)
@@ -240,7 +248,11 @@ def mesh_block_pass(sc, garrs, gi, o, d, seed_t, shadow: bool,
     ga = {k: sg(jnp.asarray(v)) for k, v in garrs[gi].items()
           if k not in ("m_inv", "m_fwd")}
     tri = pack_tri_blocks(plan, ga)
-    t, sel = mesh_block_select(plan, tri, sg(o), sg(d), sg(seed_t),
-                               shadow=shadow, interpret=interpret)
+    t, sel = mesh_block_select(
+        plan, tri,
+        None if rays6 is not None else sg(o),
+        None if rays6 is not None else sg(d),
+        sg(seed_t), shadow=shadow, interpret=interpret,
+        rays6=None if rays6 is None else sg(rays6))
     local = jnp.asarray(plan.sel_to_local)[jnp.maximum(sel, 0)]
     return t, jnp.where(sel >= 0, local, -1)

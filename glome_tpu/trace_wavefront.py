@@ -55,7 +55,8 @@ import jax.numpy as jnp
 from . import color as C
 from .compile import CompiledScene, TEX_DEPTH, TAG_DEPTH
 from .config import DELTA, INFINITY, RenderConfig
-from .intersect import Hit, intersect_multi, shadow_query_multi
+from .intersect import (Hit, intersect_multi, shadow_query_multi,
+                        shadow_query_multi_rays)
 from .trace import TraceResult, Tracer, _light_arrays
 from .vec import reflect as vreflect, vdot, vnorm, vscaleadd
 
@@ -189,20 +190,40 @@ class WavefrontTracer(Tracer):
         # per light, live tiles are kept (capacity 1.0 = lossless) and
         # inactive lanes inside kept tiles carry tmax 0, which the
         # kernels cull for free.  shadow_capacity < 1 caps the kept
-        # tiles (with overflow accounting).
+        # tiles (with overflow accounting).  The whole section works in
+        # COMPONENT PLANES ((N,) per coordinate): (N,3) tensors carry a
+        # 42x padded-tile layout tax on TPU (each 3-wide row pads to
+        # 128 lanes), which made these gathers + the ray-table stack
+        # ~25 ms of a 1080p frame; planes make every gather a cheap
+        # tile-row gather and the kernel ray table a plain row stack.
         sh_f = _lvl(self.config.shadow_capacity, level, 1.0)
         sh_cap = max(min(Tq, self.config.min_tiles), 1,
                      min(int(math.ceil(Tq * sh_f)), Tq))
         unitz = jnp.zeros((3,), dt).at[2].set(1.0)
+        px, py, pz = hit.pos[:, 0], hit.pos[:, 1], hit.pos[:, 2]
+        nx, ny, nz = hit.norm[:, 0], hit.norm[:, 1], hit.norm[:, 2]
+        sox = px + nx * DELTA
+        soy = py + ny * DELTA
+        soz = pz + nz * DELTA
+        sidf = csid.astype(dt)
+
+        def tg(a, tidx, fill=0):
+            """(N,) tile-row gather (planes stay planes)."""
+            return jnp.take(a.reshape(Tq, TILE), tidx, axis=0,
+                            mode='fill', fill_value=fill).reshape(-1)
+
         light_pre = []
         sh_segments = []
-        sh_o = vscaleadd(hit.pos, hit.norm, DELTA)
         for li, l in enumerate(lights):
-            lvec = lpos[li] - hit.pos
-            llen = jnp.sqrt(vdot(lvec, lvec))
-            ldir = lvec / jnp.maximum(llen, 1e-20)[..., None]
-            facing = vdot(lvec, hit.norm) >= 0.0
+            lvx = lpos[li, 0] - px
+            lvy = lpos[li, 1] - py
+            lvz = lpos[li, 2] - pz
+            llen = jnp.sqrt(lvx * lvx + lvy * lvy + lvz * lvz)
+            lsafe = jnp.maximum(llen, 1e-20)
+            ldx, ldy, ldz = lvx / lsafe, lvy / lsafe, lvz / lsafe
+            facing = (lvx * nx + lvy * ny + lvz * nz) >= 0.0
             active = hit.hit & facing & (llen <= lrad[li])
+            ldir = jnp.stack([ldx, ldy, ldz], axis=-1)
             light_pre.append([llen, ldir, active])
             if not l.shadow:
                 continue
@@ -210,21 +231,19 @@ class WavefrontTracer(Tracer):
             self._note_occ(overflow, f"L{level}/shadow{li}", n_live, Tq)
             self._count_overflow(overflow, f"L{level}/shadow{li}",
                                  dropped, sh_cap >= Tq)
-            act_g = _tile_gather(active, tidx)
-            d_g = _tile_gather(ldir, tidx)
-            sh_segments.append((
-                li, inv, sh_cap,
-                _tile_gather(sh_o, tidx),
-                jnp.where(act_g[:, None], d_g, unitz),
-                jnp.where(act_g,
-                          _tile_gather(llen, tidx) - 2.0 * DELTA, 0.0),
-                jnp.where(act_g, _tile_gather(csid, tidx, fill=-1), -1)))
+            act_g = tg(active, tidx, fill=False)
+            rows = jnp.stack([
+                tg(sox, tidx), tg(soy, tidx), tg(soz, tidx),
+                jnp.where(act_g, tg(ldx, tidx), 0.0),
+                jnp.where(act_g, tg(ldy, tidx), 0.0),
+                jnp.where(act_g, tg(ldz, tidx), 1.0),
+                jnp.where(act_g, tg(llen, tidx) - 2.0 * DELTA, 0.0),
+                jnp.where(act_g, tg(sidf, tidx, fill=-1), -1.0)])
+            sh_segments.append((li, inv, sh_cap, rows))
         if sh_segments:
-            so = jnp.concatenate([s[3] for s in sh_segments])
-            sd = jnp.concatenate([s[4] for s in sh_segments])
-            st = jnp.concatenate([s[5] for s in sh_segments])
-            ss = jnp.concatenate([s[6] for s in sh_segments])
-            sb = shadow_query_multi(cc, arrays, so, sd, ss, st)
+            rays_sh = jnp.concatenate([s[3] for s in sh_segments],
+                                      axis=1)
+            sb = shadow_query_multi_rays(cc, arrays, rays_sh)
             offb = 0
             for li, inv, cap_t, *_ in sh_segments:
                 n_seg = cap_t * TILE
