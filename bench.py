@@ -172,7 +172,7 @@ def bench_aa(jax, compiled, tracer, cam):
     print(f"# aa compile+first {time.time()-t0:.1f}s; "
           f"{n_rays/(xres*yres):.3f} rays/px", file=sys.stderr)
     dts = []
-    for r in range(2):
+    for r in range(3):
         eps = jnp.float32(1e-5 * (r + 1))
         t0 = time.time()
         jax.block_until_ready(f_chain(n_short, arrays, prev0 + 2 * eps))
