@@ -107,6 +107,11 @@ RT = 1024  # rays per tile: one (8, 128) vreg block
 import os as _os
 ORDERED_BVH = _os.environ.get("GLOME_ORDERED", "1") != "0"
 
+# bvh2 leaf width: the per-node scalar sync (~0.28 us) dwarfs a prim
+# test's vector work (~0.12 us), so wider leaves trade cheap vector
+# tests for fewer syncs
+BVH2_LEAF = int(_os.environ.get("GLOME_BVH2_LEAF", "16"))
+
 
 def _field_width(ptype):
     return sum(w for _, w in FIELDS[ptype])
@@ -458,7 +463,8 @@ def build_plan(compiled) -> MegaPlan:
                 if ORDERED_BVH:
                     if gi not in bounds_cache:
                         bounds_cache[gi] = A.group_bounds(g)
-                    bvh = A.build_bvh2(*bounds_cache[gi])
+                    bvh = A.build_bvh2(*bounds_cache[gi],
+                                      leaf_max=BVH2_LEAF)
                 else:
                     bvh = g.accel
                     if bvh is None:
@@ -1045,10 +1051,9 @@ def mega_select(plan: MegaPlan, pf, bb, o=None, d=None, seed_t=None,
             per-node cost is dominated by the scalar/vector sync, so
             fewer+fatter steps win."""
             rok = phase_ray_ok(ph)
-            from .accel import LEAF_MAX
 
             def leaf_tests(bt, bw, ls, lc):
-                for k in range(LEAF_MAX):
+                for k in range(BVH2_LEAF):
                     p = jnp.minimum(ls + k, ph.P - 1)
                     ok = (k < lc) & prim_ok(ph, p, rok)
                     if shadow:
