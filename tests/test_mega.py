@@ -141,6 +141,7 @@ def test_mega_shadow_matches(scene):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.slow
 def test_mega_tmax(scene):
     compiled, arrays = scene
     o, d = rays(512, seed=5)

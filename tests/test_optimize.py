@@ -1,6 +1,7 @@
 """Gradient optimization loop + orbax checkpoint/resume (config 5)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 import glome_tpu as G
@@ -38,6 +39,7 @@ def _perturb(arrays):
                                and p.shape == (1,)) else p, arrays)
 
 
+@pytest.mark.slow
 def test_optimize_recovers_radius_and_checkpoints(tmp_path):
     import jax
     compiled, tracer, o, d = _setup()

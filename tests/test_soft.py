@@ -8,6 +8,7 @@
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -87,6 +88,7 @@ def test_silhouette_fd_vs_ad():
     np.testing.assert_allclose(gc, fd, rtol=0.08, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_optimize_recovers_translated_sphere():
     # target: sphere at x=0.35; init: x=0.  With hard visibility the
     # coverage gradient is zero and the sphere cannot move; the soft
@@ -221,6 +223,7 @@ def test_tau_zero_exact_cone_cylinder_disc():
     np.testing.assert_allclose(np.asarray(s1), np.asarray(hard), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_optimize_recovers_translated_csg_cavity():
     # difference(sphere A, sphere B) with B biting the silhouette edge:
     # recovering B's translation needs gradients through the BOOLEAN
