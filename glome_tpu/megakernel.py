@@ -112,6 +112,23 @@ ORDERED_BVH = _os.environ.get("GLOME_ORDERED", "1") != "0"
 # tests for fewer syncs
 BVH2_LEAF = int(_os.environ.get("GLOME_BVH2_LEAF", "16"))
 
+# K-wide frontier walk (round 4): the ordered per-node walk pays one
+# scalar/vector drain PER NODE (~150-180 ns measured,
+# tools/micro_kwide.py) while the slab math is ~30 ns.  Popping K
+# frontier nodes per iteration, issuing all K slab tests + K
+# any-reductions back-to-back and reading the K votes after ONE drain
+# amortizes the sync: measured 180 -> 30 ns/node at K=8 on the same
+# walk.  Near-first ordering is given up (pops are frontier-order),
+# but per-lane best-t culling still applies at pop time, and for
+# shadow (any-hit, half the frame) ordering never mattered.
+# GLOME_KWIDE=0 falls back to the ordered bvh2 walk.
+KWIDE = _os.environ.get("GLOME_KWIDE", "1") != "0"
+KWIDE_K = int(_os.environ.get("GLOME_KWIDE_K", "8"))
+# A/B instrumentation knobs (dev only; wrong images when set)
+_KW_NOLEAF = _os.environ.get("GLOME_KWIDE_NOLEAF", "0") == "1"
+_KW_NOEXIT = _os.environ.get("GLOME_KWIDE_NOEXIT", "0") == "1"
+_KW_NOPUSH = _os.environ.get("GLOME_KWIDE_NOPUSH", "0") == "1"
+
 
 def _field_width(ptype):
     return sum(w for _, w in FIELDS[ptype])
@@ -706,7 +723,7 @@ def mega_select(plan: MegaPlan, pf, bb, o=None, d=None, seed_t=None,
               and (multi or ph.si == scene_id)]
 
     def kernel(rays_ref, pf_ref, pi_ref, nf_ref, ni_ref, bb_ref,
-               out_t, out_w, out_a, stack_ref):
+               out_t, out_w, out_a, stack_ref, leafq_ref):
         def rc(c):
             return rays_ref[c, 0]                       # (8, 128)
 
@@ -1152,6 +1169,124 @@ def mega_select(plan: MegaPlan, pf, bb, o=None, d=None, seed_t=None,
                 return jax.lax.cond(cond, body, lambda a: a, (bt, bw))
             return body((bt, bw))
 
+        def emit_kwide(ph, bt, bw):
+            """K-wide frontier walk over the binary bvh2 tree: pop up
+            to K nodes per iteration from the SMEM stack, issue all K
+            slab tests and any-votes back-to-back, read the votes
+            after ONE queue drain, then do the scalar bookkeeping
+            (child pushes) and the gated leaf prim tests.  Measured
+            (tools/micro_kwide.py) this cuts the per-node cost from
+            ~180 ns (one drain per node) to ~30 ns at K=8.  Semantics
+            match emit_bvh2 exactly -- the visit ORDER differs (no
+            near-first), but the (t, wid) merge is a min-reduction and
+            per-lane best-t culling still applies at pop time, so the
+            result is identical up to exact-tie winner choice."""
+            rok = phase_ray_ok(ph)
+            K = KWIDE_K
+
+            def leaf_tests(bt, bw, ls, lc):
+                for k in range(BVH2_LEAF):
+                    p = jnp.minimum(ls + k, ph.P - 1)
+                    ok = (k < lc) & prim_ok(ph, p, rok)
+                    if shadow:
+                        ok = ok & sh_undone(bt)
+                    bt, bw = prim_test(ph, ph.pf_base + p * ph.F,
+                                       pi_ref[ph.pi_base + p * 2],
+                                       ok, bt, bw)
+                return bt, bw
+
+            def slab(node, bt, gate):
+                nb = ph.nf_base + node * 6
+                t1x = (nf_ref[nb + 0] - ox) * ivx
+                t2x = (nf_ref[nb + 3] - ox) * ivx
+                t1y = (nf_ref[nb + 1] - oy) * ivy
+                t2y = (nf_ref[nb + 4] - oy) * ivy
+                t1z = (nf_ref[nb + 2] - oz) * ivz
+                t2z = (nf_ref[nb + 5] - oz) * ivz
+                near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                               jnp.minimum(t1y, t2y)),
+                                   jnp.minimum(t1z, t2z))
+                far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                              jnp.maximum(t1y, t2y)),
+                                  jnp.maximum(t1z, t2z))
+                return (near <= far) & (far > 0.0) & (near < bt)
+
+            def body(args):
+                def drain_leaves(lp, bt, bw):
+                    """Unconditionally test every queued leaf: a
+                    dynamic fori over SMEM (ls, lc) pairs with NO
+                    per-leaf branches -- per-leaf lax.conds measured
+                    ~5 ms/launch of branch overhead on this walk."""
+                    def one(i, a):
+                        bt, bw = a
+                        return leaf_tests(bt, bw, leafq_ref[2 * i],
+                                          leafq_ref[2 * i + 1])
+                    return jax.lax.fori_loop(0, lp, one, (bt, bw))
+
+                def step(st):
+                    sp, bt, bw = st
+                    gate = rok if rok is not None else (seed > -1.0)
+                    if shadow:
+                        gate = gate & sh_undone(bt)
+                    kk = jnp.minimum(sp, K)
+                    # phase 1: issue all K slab tests + reductions
+                    info = []
+                    for k in range(K):
+                        nd = stack_ref[jnp.maximum(sp - 1 - k, 0)]
+                        hit = slab(nd, bt, gate)
+                        info.append((nd, jnp.sum(hit.astype(jnp.float32))))
+                    sp = sp - kk
+                    # phase 2: one drain; scalar bookkeeping only
+                    lp = jnp.int32(0)
+                    for k, (nd, s) in enumerate(info):
+                        nib = ph.ni_base + nd * 4
+                        lc = ni_ref[nib + 3]
+                        hitk = (s > 0.0) & (k < kk)
+                        push = hitk & (lc == 0)
+                        is_leaf = hitk & (lc > 0)
+
+                        @pl.when(push)
+                        def _(nd=nd, nib=nib, sp=sp):
+                            stack_ref[sp] = ni_ref[nib]
+                            stack_ref[sp + 1] = ni_ref[nib + 1]
+                        sp = jnp.where(push, sp + 2, sp)
+
+                        @pl.when(is_leaf)
+                        def _(nib=nib, lc=lc, lp=lp):
+                            leafq_ref[2 * lp] = ni_ref[nib + 2]
+                            leafq_ref[2 * lp + 1] = lc
+                        lp = jnp.where(is_leaf, lp + 1, lp)
+                    # phase 3: one batched leaf drain per iteration
+                    if not _KW_NOLEAF:
+                        bt, bw = jax.lax.cond(
+                            lp > 0,
+                            lambda a, lp=lp: drain_leaves(lp, *a),
+                            lambda a: a, (bt, bw))
+                    if shadow and not _KW_NOEXIT:
+                        # any-hit early exit, one drain per iteration
+                        sp = jnp.where(jnp.any(sh_undone(bt)), sp,
+                                       jnp.int32(0))
+                    return sp, bt, bw
+
+                bt, bw = args
+                stack_ref[0] = jnp.int32(0)
+                _, bt, bw = jax.lax.while_loop(
+                    lambda st: st[0] > 0, step,
+                    (jnp.int32(1), bt, bw))
+                return bt, bw
+
+            conds = []
+            if rok is not None:
+                conds.append(jnp.any(rok))
+            if shadow:
+                conds.append(jnp.any(sh_undone(bt)))
+            if conds:
+                cond = conds[0]
+                for c in conds[1:]:
+                    cond = cond & c
+                return jax.lax.cond(cond, body, lambda a: a, (bt, bw))
+            return body((bt, bw))
+
         def member_interval(ptype, off, F, has_inv):
             """Exact world [t_in, t_out] of one convex member; empty ->
             [INF, -INF]-style extremes handled by max/min."""
@@ -1315,7 +1450,10 @@ def mega_select(plan: MegaPlan, pf, bb, o=None, d=None, seed_t=None,
             elif ph.kind == "bvh":
                 bt, bw = emit_bvh(ph, bt, bw)
             elif ph.kind == "bvh2":
-                bt, bw = emit_bvh2(ph, bt, bw)
+                if KWIDE:
+                    bt, bw = emit_kwide(ph, bt, bw)
+                else:
+                    bt, bw = emit_bvh2(ph, bt, bw)
             elif ph.kind == "convex":
                 bt, bw = emit_convex(ph, bt, bw)
             else:
@@ -1340,12 +1478,19 @@ def mega_select(plan: MegaPlan, pf, bb, o=None, d=None, seed_t=None,
     blk = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     out_specs = (blk, blk, blk)
-    stack_n = max([ph.depth for ph in phases if ph.kind == "bvh2"]
-                  + [6]) + 2
+    if KWIDE:
+        # frontier bound: every inner node pushes its 2 children at
+        # most once, so live entries never exceed n_nodes
+        stack_n = max([ph.n_nodes for ph in phases if ph.kind == "bvh2"]
+                      + [6]) + 2 * KWIDE_K
+    else:
+        stack_n = max([ph.depth for ph in phases if ph.kind == "bvh2"]
+                      + [6]) + 2
     bt, bw, ba = pl.pallas_call(
         kernel,
         grid=(T,),
-        scratch_shapes=[pltpu.SMEM((stack_n,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((stack_n,), jnp.int32),
+                        pltpu.SMEM((2 * KWIDE_K,), jnp.int32)],
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
