@@ -149,24 +149,32 @@ def trace_debug_counts(compiled, arrays, o, d, recurs: int = 3,
     dt = o.dtype
     R = max(recurs, 1)
 
-    Np = (N + TILE - 1) // TILE * TILE
+    from .trace_wavefront import _mk_table
+
+    Tq = (N + TILE - 1) // TILE
+    Np = Tq * TILE
     tmax = jnp.full((N,), INFINITY, dtype=dt)
     if Np != N:
         pad = Np - N
         o = jnp.concatenate([o, jnp.zeros((pad, 3), dt)])
         d = jnp.concatenate([d, jnp.zeros((pad, 3), dt).at[:, 2].set(1.0)])
         tmax = jnp.concatenate([tmax, jnp.zeros((pad,), dt)])
-    carry = (o, d, jnp.full((Np,), scene_id, jnp.int32), tmax)
+    Q = _mk_table([o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+                   tmax, jnp.full((Np,), float(scene_id), dt)], Tq)
 
     levels = []
     overflow = []
     tracer.overflow_labels = []
     for level in range(R):
-        co, cd, csid, ctmax = carry
-        segs, Qt = tracer._plan(co.shape[0] // TILE, level)
-        carry, stored = tracer._down_level(arrays, carry, segs, Qt,
-                                           level, lights, lpos, lcol,
-                                           lrad, overflow)
+        Qc = Q.shape[0] * TILE
+        co = jnp.stack([Q[:, c].reshape(Qc) for c in range(3)], axis=-1)
+        cd = jnp.stack([Q[:, c].reshape(Qc) for c in range(3, 6)],
+                       axis=-1)
+        ctmax = Q[:, 6].reshape(Qc)
+        segs, Qt = tracer._plan(Q.shape[0], level)
+        Q, stored = tracer._down_level(arrays, Q, segs, Qt,
+                                       level, lights, lpos, lcol,
+                                       lrad, overflow)
         # own-queue rayint work (charged only to live rays)
         live = ctmax > 0.0
         qp, qn = ray_debug_counts(compiled, arrays, co, cd, scene_id)
@@ -191,7 +199,7 @@ def trace_debug_counts(compiled, arrays, o, d, recurs: int = 3,
         levels.append((segs, stored, qp, qn))
 
     # ascend: children's subtree counts flow to parents like colors
-    Qdeep = carry[0].shape[0]
+    Qdeep = Q.shape[0] * TILE
     up_p = jnp.zeros((Qdeep,), jnp.int32)
     up_n = jnp.zeros((Qdeep,), jnp.int32)
     for segs, stored, qp, qn in reversed(levels):

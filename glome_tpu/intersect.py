@@ -1121,6 +1121,39 @@ def shadow_query_multi(compiled, arrays, o, d, sid, tmax):
     return h.hit
 
 
+def intersect_multi_table(compiled, arrays, table) -> Hit:
+    """Tile-major table variant of intersect_multi: `table` is
+    (T, 8, 8, 128) with channels [ox,oy,oz,dx,dy,dz,tmax,sid] (dead
+    lanes tmax 0, sid -1).  On TPU this feeds the megakernel with no
+    layout conversion at all; the jnp fallback (CPU oracle) unpacks to
+    columns."""
+    if _mega_enabled():
+        from . import megakernel as MK
+        return MK.mega_intersect_table(compiled, arrays, table)
+    T = table.shape[0]
+    N = T * 1024
+    o = jnp.stack([table[:, c].reshape(N) for c in range(3)], axis=-1)
+    d = jnp.stack([table[:, c].reshape(N) for c in range(3, 6)], axis=-1)
+    tmax = table[:, 6].reshape(N)
+    sid = table[:, 7].reshape(N).astype(jnp.int32)
+    return intersect_multi(compiled, arrays, o, d, sid, tmax=tmax)
+
+
+def shadow_query_table(compiled, arrays, table):
+    """Tile-major any-hit occlusion; returns (T, 8, 128) bool."""
+    if _mega_enabled():
+        from . import megakernel as MK
+        return MK.mega_shadow_table(compiled, arrays, table)
+    T = table.shape[0]
+    N = T * 1024
+    o = jnp.stack([table[:, c].reshape(N) for c in range(3)], axis=-1)
+    d = jnp.stack([table[:, c].reshape(N) for c in range(3, 6)], axis=-1)
+    tmax = table[:, 6].reshape(N)
+    sid = table[:, 7].reshape(N).astype(jnp.int32)
+    return shadow_query_multi(compiled, arrays, o, d, sid,
+                              tmax).reshape(T, 8, 128)
+
+
 def shadow_query_multi_rays(compiled, arrays, rays):
     """Plane-table variant: rays is (8, W) [o*3, d*3, tmax, sid] with W
     a multiple of 1024, dead lanes tmax 0 / sid -1.  Layout-friendly:

@@ -697,11 +697,21 @@ def mega_select(plan: MegaPlan, pf, bb, o=None, d=None, seed_t=None,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     vi = 1 if shadow else 0
-    if rays is not None:
+    if rays is not None and rays.ndim == 4:
+        # tile-major native table (T, 8, 8, 128): channel c of tile t
+        # at rays[t, c] -- what the wavefront queue builder produces
+        # with one whole-tile gather per segment (the (8, N) row form
+        # cost ~16 per-component gathers + a relayout per launch)
+        T = rays.shape[0]
+        N = T * RT
+        rays_t = rays
+        tile_major = True
+    elif rays is not None:
         N = rays.shape[1]
         assert N % RT == 0
         T = N // RT
         rays_t = rays.reshape(8, T, 8, 128)
+        tile_major = False
     else:
         multi = sid is not None
         N = o.shape[0]
@@ -718,6 +728,7 @@ def mega_select(plan: MegaPlan, pf, bb, o=None, d=None, seed_t=None,
                 fill = fill.at[7].set(-1.0)
             rays8 = jnp.concatenate([rays8, fill], axis=1)
         rays_t = rays8.reshape(8, T, 8, 128)
+        tile_major = False
 
     phases = [ph for ph in plan.phases if ph.vis[vi]
               and (multi or ph.si == scene_id)]
@@ -725,6 +736,8 @@ def mega_select(plan: MegaPlan, pf, bb, o=None, d=None, seed_t=None,
     def kernel(rays_ref, pf_ref, pi_ref, nf_ref, ni_ref, bb_ref,
                out_t, out_w, out_a, stack_ref, leafq_ref):
         def rc(c):
+            if tile_major:
+                return rays_ref[0, c]                   # (8, 128)
             return rays_ref[c, 0]                       # (8, 128)
 
         ox, oy, oz = rc(0), rc(1), rc(2)
@@ -1463,6 +1476,8 @@ def mega_select(plan: MegaPlan, pf, bb, o=None, d=None, seed_t=None,
         out_a[0] = ba
 
     in_specs = [
+        pl.BlockSpec((1, 8, 8, 128), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM) if tile_major else
         pl.BlockSpec((8, 1, 8, 128), lambda i: (0, i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1766,6 +1781,59 @@ def _run_external(compiled, plan, arrays, o, d, sid, t, wid, shadow,
         wid = jnp.where(better, (base + jnp.maximum(bl2, 0)) * 2, wid)
         t = jnp.where(better, t2, t)
     return t, wid
+
+
+def mega_intersect_table(compiled, arrays, table,
+                         interpret: Optional[bool] = None):
+    """Table-native nearest-hit: `table` is (T, 8, 8, 128) tile-major
+    with channels [ox,oy,oz,dx,dy,dz,tmax,sid] (dead lanes tmax 0,
+    sid -1).  Returns the finalized Hit (finalize consumes o, d
+    stacked from the table's channels -- the only (N, 3) arrays in the
+    whole path).  This is the wavefront tracer's production entry: the
+    (N, 3)-column entry (mega_intersect) cost ~16 per-component
+    gathers + a layout transpose per launch in the round-3 frame
+    trace."""
+    plan = get_plan(compiled)
+    sg = jax.lax.stop_gradient
+    T = table.shape[0]
+    N = T * RT
+    pf, bb = pack_tables(plan, compiled, arrays)
+    seed = jnp.minimum(table[:, 6], INFINITY)
+    tbl = jnp.concatenate([table[:, :6], seed[:, None], table[:, 7:8]],
+                          axis=1)
+    t, wid, aux = mega_select(plan, pf, bb, rays=sg(tbl), multi=True,
+                              interpret=interpret)
+    o = jnp.stack([table[:, c].reshape(N) for c in range(3)], axis=-1)
+    d = jnp.stack([table[:, c].reshape(N) for c in range(3, 6)], axis=-1)
+    if plan.blocks or plan.external:
+        rows = sg(tbl).transpose(1, 0, 2, 3).reshape(8, N)
+        t, wid = _run_blocks(compiled, plan, arrays, o, d, None, t, wid,
+                             False, 0, rays=rows)
+        t, wid = _run_external(compiled, plan, arrays, o, d, None, t,
+                               wid, False, 0, rays=rows)
+    return finalize(compiled, plan, arrays, o, d, t, wid, aux=aux)
+
+
+def mega_shadow_table(compiled, arrays, table,
+                      interpret: Optional[bool] = None):
+    """Table-native any-hit occlusion: `table` as in
+    mega_intersect_table (channel 6 = segment tmax; 0 = dead lane).
+    Returns blocked (T, 8, 128) bool."""
+    plan = get_plan(compiled)
+    sg = jax.lax.stop_gradient
+    pf, bb = pack_tables(plan, compiled, arrays)
+    t, wid, _ = mega_select(plan, pf, bb, rays=sg(table), multi=True,
+                            shadow=True, interpret=interpret)
+    if plan.blocks or plan.external:
+        T = table.shape[0]
+        N = T * RT
+        rows = sg(table).transpose(1, 0, 2, 3).reshape(8, N)
+        t, wid = _run_blocks(compiled, plan, arrays, None, None, None,
+                             t, wid, shadow=True, scene_id=0, rays=rows)
+        t, wid = _run_external(compiled, plan, arrays, None, None, None,
+                               t, wid, shadow=True, scene_id=0,
+                               rays=rows)
+    return (wid >= 0).reshape(table.shape[0], 8, 128)
 
 
 def mega_shadow(compiled, arrays, o=None, d=None, sid=None, tmax=None,

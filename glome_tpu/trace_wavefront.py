@@ -18,25 +18,27 @@ per depth level:
          (Trace.hs:60), so depth-exhaustion semantics match the
          reference with no special cases.
 
-Queues are built at TILE=1024-ray granularity (one (8,128) kernel
-tile): a segment keeps a tile iff ANY of its parents spawns that child
-kind, and within a kept tile children sit at their parents' positions.
-Round-3 profiling (tools/PERF_BUDGET.md) showed element-level
-compaction cost ~14 ms/frame of nonzero/scatter index machinery plus
-~8 ms of 1-D up-pass gathers; tile buckets replace all of it with a
-handful of (T,)-sized cumsums and 2-D tile-row gathers, keep parent
-beam coherence inside the kernels, and leave dead lanes to the
-kernels' per-tile guards (tmax 0 lanes cull for free).
+Queue layout (round 4): every queue is ONE tile-major 8-channel table
+of shape (Qt, 8, 8, 128): tile t, channel c in [ox,oy,oz,dx,dy,dz,
+tmax,sid], lane block (8, 128).  The round-3 frame trace attributed
+~35 ms (half the frame) to XLA layout glue: 16 per-component
+(Tq, 1024) tile gathers per level for the shadow rows, (8, N) row
+stacks re-tiled to the kernels' (8, T, 8, 128) blocks, and ~30
+f32[N,3] copies.  With the table form the kernels read tiles straight
+from the queue (BlockSpec (1, 8, 8, 128)), tile compaction is one
+jnp.take per segment, and all per-ray math runs on flat (N,)
+component planes whose (Qt, 8, 128) reshape is layout-free.
 
 Queue sizes shrink with depth on a static capacity schedule
-(RenderConfig.{reflect,refract,warp,shadow}_capacity), now counted in
-TILES: secondary-ray occupancy decays geometrically with depth, so
-scheduled capacities cut the per-frame ray-pass volume several-fold
-versus running every level at the primary-ray width.  Tiles beyond a
-segment's capacity are dropped (child color falls back to the
-transparent miss; overflowing shadow rays count as unblocked) -- drops
-are counted per segment in TraceResult.overflow.  Shadow batches
-always tile-compact losslessly (capacity 1.0 keeps every live tile).
+(RenderConfig.{reflect,refract,warp,shadow}_capacity), counted in
+TILES: a segment keeps a tile iff ANY of its parents spawns that
+child kind; within a kept tile children sit at their parents'
+positions; dead lanes carry tmax 0 which the kernels cull for free.
+Tiles beyond a segment's capacity are dropped (child color falls back
+to the transparent miss; overflowing shadow rays count as unblocked)
+-- drops are counted per segment in TraceResult.overflow.  Shadow
+batches always tile-compact losslessly (capacity 1.0 keeps every
+live tile).
 
 Constraints: all light sets must equal the root set (true for the
 TestScene portal, TestScene.hs:179); scenes with per-warp light sets
@@ -55,10 +57,8 @@ import jax.numpy as jnp
 from . import color as C
 from .compile import CompiledScene, TEX_DEPTH, TAG_DEPTH
 from .config import DELTA, INFINITY, RenderConfig
-from .intersect import (Hit, intersect_multi, shadow_query_multi,
-                        shadow_query_multi_rays)
+from .intersect import Hit, intersect_multi_table, shadow_query_table
 from .trace import TraceResult, Tracer, _light_arrays
-from .vec import reflect as vreflect, vdot, vnorm, vscaleadd
 
 TILE = 1024  # queue granularity: one (8,128) kernel tile
 
@@ -92,13 +92,18 @@ def _tile_sel(mask, cap_t):
     return tidx, inv, dropped, jnp.sum(tl.astype(jnp.int32))
 
 
-def _tile_gather(a, tidx, fill=0):
-    """Gather whole tiles: a (Tq*TILE, ...) -> (cap_t*TILE, ...)."""
-    Tq = a.shape[0] // TILE
-    rest = a.shape[1:]
-    a2 = a.reshape(Tq, -1)
-    out = jnp.take(a2, tidx, axis=0, mode='fill', fill_value=fill)
-    return out.reshape((tidx.shape[0] * TILE,) + rest)
+def _mk_table(channels, Tq):
+    """Stack 8 flat (N,) channel planes into the (Tq, 8, 8, 128)
+    tile-major queue table (one copy; every other hop is layout-free)."""
+    return jnp.stack([c.reshape(Tq, 8, 128) for c in channels], axis=1)
+
+
+def _take_tiles(table, tidx):
+    """Whole-tile compaction: (Tq, ...) -> (cap_t, ...), out-of-range
+    tidx rows fill with zeros (dead tiles: tmax 0, sid 0 -> the
+    kernels cull them lane-wise for free; sid 0 is harmless because
+    tmax 0 already makes every candidate fail t < tmax)."""
+    return jnp.take(table, tidx, axis=0, mode='fill', fill_value=0)
 
 
 class WavefrontTracer(Tracer):
@@ -172,45 +177,39 @@ class WavefrontTracer(Tracer):
 
     # -- one DOWN level ------------------------------------------------------
 
-    def _down_level(self, arrays, carry, segs, Qt, level, lights,
+    def _down_level(self, arrays, Q, segs, Qt, level, lights,
                     lpos, lcol, lrad, overflow):
-        """Intersect + preshade one level's queue; spawn children into a
-        fresh (Qt,)-tile queue laid out by `segs`.  Returns (child
-        carry, stored shading inputs).  Every capped tile selection
-        appends its dropped-ray count to `overflow` (labels in
-        overflow_labels)."""
-        co, cd, csid, ctmax = carry
-        Qc = co.shape[0]
-        Tq = Qc // TILE
-        dt = co.dtype
+        """Intersect + preshade one level's queue table; spawn children
+        into a fresh (Qt,)-tile queue table laid out by `segs`.
+        Returns (child table, stored shading inputs).  Every capped
+        tile selection appends its dropped-ray count to `overflow`
+        (labels in overflow_labels).  All per-ray math runs on flat
+        (N,) component planes."""
+        Tq = Q.shape[0]
+        Qc = Tq * TILE
+        dt = Q.dtype
         cc = self.compiled
-        hit = intersect_multi(cc, arrays, co, cd, csid, tmax=ctmax)
+        hit = intersect_multi_table(cc, arrays, Q)
 
-        # fused per-light shadow batch (preshade, Shader.hs:65-80):
-        # per light, live tiles are kept (capacity 1.0 = lossless) and
-        # inactive lanes inside kept tiles carry tmax 0, which the
-        # kernels cull for free.  shadow_capacity < 1 caps the kept
-        # tiles (with overflow accounting).  The whole section works in
-        # COMPONENT PLANES ((N,) per coordinate): (N,3) tensors carry a
-        # 42x padded-tile layout tax on TPU (each 3-wide row pads to
-        # 128 lanes), which made these gathers + the ray-table stack
-        # ~25 ms of a 1080p frame; planes make every gather a cheap
-        # tile-row gather and the kernel ray table a plain row stack.
-        sh_f = _lvl(self.config.shadow_capacity, level, 1.0)
-        sh_cap = max(min(Tq, self.config.min_tiles), 1,
-                     min(int(math.ceil(Tq * sh_f)), Tq))
-        unitz = jnp.zeros((3,), dt).at[2].set(1.0)
+        def ch(c):
+            return Q[:, c].reshape(Qc)
+
+        cdx, cdy, cdz = ch(3), ch(4), ch(5)
+        sidf = ch(7)
         px, py, pz = hit.pos[:, 0], hit.pos[:, 1], hit.pos[:, 2]
         nx, ny, nz = hit.norm[:, 0], hit.norm[:, 1], hit.norm[:, 2]
         sox = px + nx * DELTA
         soy = py + ny * DELTA
         soz = pz + nz * DELTA
-        sidf = csid.astype(dt)
 
-        def tg(a, tidx, fill=0):
-            """(N,) tile-row gather (planes stay planes)."""
-            return jnp.take(a.reshape(Tq, TILE), tidx, axis=0,
-                            mode='fill', fill_value=fill).reshape(-1)
+        # fused per-light shadow batch (preshade, Shader.hs:65-80):
+        # per light, live tiles are kept (capacity 1.0 = lossless) and
+        # inactive lanes inside kept tiles carry tmax 0, which the
+        # kernels cull for free.  shadow_capacity < 1 caps the kept
+        # tiles (with overflow accounting).
+        sh_f = _lvl(self.config.shadow_capacity, level, 1.0)
+        sh_cap = max(min(Tq, self.config.min_tiles), 1,
+                     min(int(math.ceil(Tq * sh_f)), Tq))
 
         light_pre = []
         sh_segments = []
@@ -223,35 +222,34 @@ class WavefrontTracer(Tracer):
             ldx, ldy, ldz = lvx / lsafe, lvy / lsafe, lvz / lsafe
             facing = (lvx * nx + lvy * ny + lvz * nz) >= 0.0
             active = hit.hit & facing & (llen <= lrad[li])
-            ldir = jnp.stack([ldx, ldy, ldz], axis=-1)
-            light_pre.append([llen, ldir, active])
+            light_pre.append([llen, (ldx, ldy, ldz), active])
             if not l.shadow:
                 continue
             tidx, inv, dropped, n_live = _tile_sel(active, sh_cap)
             self._note_occ(overflow, f"L{level}/shadow{li}", n_live, Tq)
             self._count_overflow(overflow, f"L{level}/shadow{li}",
                                  dropped, sh_cap >= Tq)
-            act_g = tg(active, tidx, fill=False)
-            rows = jnp.stack([
-                tg(sox, tidx), tg(soy, tidx), tg(soz, tidx),
-                jnp.where(act_g, tg(ldx, tidx), 0.0),
-                jnp.where(act_g, tg(ldy, tidx), 0.0),
-                jnp.where(act_g, tg(ldz, tidx), 1.0),
-                jnp.where(act_g, tg(llen, tidx) - 2.0 * DELTA, 0.0),
-                jnp.where(act_g, tg(sidf, tidx, fill=-1), -1.0)])
-            sh_segments.append((li, inv, sh_cap, rows))
+            tbl = _mk_table([
+                sox, soy, soz,
+                jnp.where(active, ldx, 0.0),
+                jnp.where(active, ldy, 0.0),
+                jnp.where(active, ldz, 1.0),
+                jnp.where(active, llen - 2.0 * DELTA, 0.0),
+                jnp.where(active, sidf, -1.0)], Tq)
+            sh_segments.append((li, inv, sh_cap,
+                                _take_tiles(tbl, tidx)))
         if sh_segments:
-            rays_sh = jnp.concatenate([s[3] for s in sh_segments],
-                                      axis=1)
-            sb = shadow_query_multi_rays(cc, arrays, rays_sh)
+            sb = shadow_query_table(
+                cc, arrays,
+                jnp.concatenate([s[3] for s in sh_segments], axis=0))
             offb = 0
-            for li, inv, cap_t, *_ in sh_segments:
-                n_seg = cap_t * TILE
-                seg = sb[offb:offb + n_seg]
-                offb += n_seg
-                rows = jnp.take(seg.reshape(cap_t, TILE),
-                                jnp.maximum(inv, 0), axis=0, mode='clip')
-                blocked = rows.reshape(-1) & jnp.repeat(inv >= 0, TILE)
+            for li, inv, cap_t, _t in sh_segments:
+                seg = sb[offb:offb + cap_t]           # (cap_t, 8, 128)
+                offb += cap_t
+                rows = jnp.take(seg, jnp.maximum(inv, 0), axis=0,
+                                mode='clip')          # (Tq, 8, 128)
+                blocked = (rows.reshape(Qc)
+                           & jnp.repeat(inv >= 0, TILE))
                 light_pre[li][2] = light_pre[li][2] & ~blocked
         if light_pre:
             contrib = jnp.stack(
@@ -259,7 +257,8 @@ class WavefrontTracer(Tracer):
                            lcol[li] * lights[li].falloff_at(ll)[:, None],
                            0.0)
                  for li, (ll, ld, a) in enumerate(light_pre)])
-            ldirs = jnp.stack([ld for ll, ld, a in light_pre])
+            ldirs = jnp.stack(
+                [jnp.stack(ld, axis=-1) for ll, ld, a in light_pre])
             lactive = jnp.stack([a for ll, ld, a in light_pre])
         else:
             contrib = jnp.zeros((0, Qc, 3), dt)
@@ -267,9 +266,9 @@ class WavefrontTracer(Tracer):
             lactive = jnp.zeros((0, Qc), bool)
 
         # ---- spawn children into the fixed queue segments -----------
-        # each segment keeps only its live tiles; the queue is
-        # assembled with ONE concatenate per field
-        seg_o, seg_d, seg_sid, seg_tmax = [], [], [], []
+        # each segment builds its 8 channel planes, stacks them into
+        # one tile-major table, and keeps only its live tiles
+        parts = []
         stored_inv = {}
         stored_mask = {}
         stored_extra = {}
@@ -277,77 +276,97 @@ class WavefrontTracer(Tracer):
             if key == "reflect":
                 mask = hit.hit & self._stack_uses(hit.tex_stack,
                                                   self.reflect_texids)
-                outdir = vreflect(cd, hit.norm)
-                ro = vscaleadd(hit.pos, outdir, DELTA)
-                rd, rsid = outdir, csid
+                ddn = cdx * nx + cdy * ny + cdz * nz
+                rdx = cdx - 2.0 * ddn * nx
+                rdy = cdy - 2.0 * ddn * ny
+                rdz = cdz - 2.0 * ddn * nz
+                rox = px + rdx * DELTA
+                roy = py + rdy * DELTA
+                roz = pz + rdz * DELTA
+                rsid = sidf
             elif key.startswith("refract_"):
                 mi = int(key.split("_")[-1])
                 m = cc.refract_mats[mi]
                 active = hit.hit & self._stack_uses(
                     hit.tex_stack, self.refract_texids[mi])
-                n = hit.norm
-                eta = jnp.where(vdot(n, -cd) > 0.0, m.ior, 1.0 / m.ior)
-                c1 = vdot(cd, n)
+                ndd = nx * cdx + ny * cdy + nz * cdz
+                eta = jnp.where(-ndd > 0.0, m.ior, 1.0 / m.ior)
+                c1 = ndd
                 cs2 = 1.0 - eta * eta * (1.0 - c1 * c1)
                 tir = cs2 < 0.0
-                tdir = cd * eta[..., None] + n * (
-                    eta * c1 - jnp.sqrt(jnp.maximum(cs2, 0.0)))[..., None]
+                coef = eta * c1 - jnp.sqrt(jnp.maximum(cs2, 0.0))
+                rdx = cdx * eta + nx * coef
+                rdy = cdy * eta + ny * coef
+                rdz = cdz * eta + nz * coef
                 stored_extra[f"refract_active_{mi}"] = active
                 stored_extra[f"refract_tir_{mi}"] = tir
                 mask = active & ~tir
-                ro = vscaleadd(hit.pos, tdir, DELTA)
-                rd, rsid = tdir, csid
+                rox = px + rdx * DELTA
+                roy = py + rdy * DELTA
+                roz = pz + rdz * DELTA
+                rsid = sidf
             elif key.startswith("warp_frame_"):
                 wi = int(key.split("_")[-1])
                 active = hit.hit & self._stack_uses(
                     hit.tex_stack, self.warp_texids[wi])
                 stored_extra[f"warp_active_{wi}"] = active
                 mask = active
-                ro, rd = hit.obj_o, hit.obj_d
-                rsid = jnp.full((Qc,), cc.warp_mats[wi].frame_scene,
-                                jnp.int32)
+                rox, roy, roz = (hit.obj_o[:, 0], hit.obj_o[:, 1],
+                                 hit.obj_o[:, 2])
+                rdx, rdy, rdz = (hit.obj_d[:, 0], hit.obj_d[:, 1],
+                                 hit.obj_d[:, 2])
+                rsid = jnp.full((Qc,), float(cc.warp_mats[wi].frame_scene),
+                                dt)
             else:  # warp_target
                 wi = int(key.split("_")[-1])
                 w = cc.warp_mats[wi]
                 mask = stored_extra[f"warp_active_{wi}"]
-                fwd = jnp.asarray(w.xfm.fwd, dtype=dt)
-                ro = jnp.einsum('ij,nj->ni', fwd[:, :3], hit.pos) + fwd[:, 3]
-                rd = vnorm(jnp.einsum('ij,nj->ni', fwd[:, :3], vnorm(cd)))
-                rsid = jnp.full((Qc,), w.target_scene, jnp.int32)
+                # expression shapes kept IDENTICAL to the round-3 path
+                # (einsum over stacked (N,3), vnorm before AND after
+                # the matrix): the portal view is boundary-dense (the
+                # whole lattice at small scale), so even FMA-contraction
+                # differences in this math flip thousands of pixels
+                from .vec import vnorm
+                fwd = jnp.asarray(np.asarray(w.xfm.fwd), dtype=dt)
+                pos3 = jnp.stack([px, py, pz], axis=-1)
+                d3 = jnp.stack([cdx, cdy, cdz], axis=-1)
+                ro3 = jnp.einsum('ij,nj->ni', fwd[:, :3], pos3) + fwd[:, 3]
+                rd3 = vnorm(jnp.einsum('ij,nj->ni', fwd[:, :3],
+                                       vnorm(d3)))
+                rox, roy, roz = ro3[:, 0], ro3[:, 1], ro3[:, 2]
+                rdx, rdy, rdz = rd3[:, 0], rd3[:, 1], rd3[:, 2]
+                rsid = jnp.full((Qc,), float(w.target_scene), dt)
             tidx, inv, dropped, n_live = _tile_sel(mask, capt)
             self._note_occ(overflow, f"L{level}/{key}", n_live, Tq)
             self._count_overflow(overflow, f"L{level}/{key}", dropped,
                                  capt >= Tq)
             stored_inv[key] = inv
             stored_mask[key] = mask
-            mask_g = _tile_gather(mask, tidx)
-            seg_o.append(_tile_gather(ro, tidx))
-            nd = _tile_gather(rd, tidx)
-            seg_d.append(jnp.where(mask_g[:, None], nd, unitz))
-            seg_sid.append(jnp.where(mask_g,
-                                     _tile_gather(rsid, tidx, fill=-1), -1))
-            seg_tmax.append(jnp.where(mask_g, INFINITY, 0.0).astype(dt))
+            tbl = _mk_table([
+                rox, roy, roz,
+                jnp.where(mask, rdx, 0.0),
+                jnp.where(mask, rdy, 0.0),
+                jnp.where(mask, rdz, 1.0),
+                jnp.where(mask, INFINITY, 0.0).astype(dt),
+                jnp.where(mask, rsid, -1.0)], Tq)
+            parts.append(_take_tiles(tbl, tidx))
 
         used = sum(capt for _, _, capt in segs)
-        pad = (Qt - used) * TILE
-        if pad or not segs:
-            seg_o.append(jnp.zeros((pad, 3), dt))
-            seg_d.append(jnp.zeros((pad, 3), dt).at[:, 2].set(1.0))
-            seg_sid.append(jnp.full((pad,), -1, jnp.int32))
-            seg_tmax.append(jnp.zeros((pad,), dt))
-        no = jnp.concatenate(seg_o)
-        nd = jnp.concatenate(seg_d)
-        nsid = jnp.concatenate(seg_sid)
-        ntmax = jnp.concatenate(seg_tmax)
+        if used < Qt or not parts:
+            pad = jnp.zeros((Qt - used, 8, 8, 128), dt)
+            pad = pad.at[:, 5].set(1.0).at[:, 7].set(-1.0)
+            parts.append(pad)
+        Qnext = jnp.concatenate(parts, axis=0)
 
         stored = dict(
             t=hit.t, hitmask=hit.hit, pos=hit.pos, norm=hit.norm,
-            d=cd, tex=hit.tex_stack, tag=hit.tag_stack,
+            d=jnp.stack([cdx, cdy, cdz], axis=-1),
+            tex=hit.tex_stack, tag=hit.tag_stack,
             serial=hit.prim_serial,
             contrib=contrib, ldirs=ldirs, lactive=lactive,
             inv=stored_inv, mask=stored_mask, extra=stored_extra,
         )
-        return (no, nd, nsid, ntmax), stored
+        return Qnext, stored
 
     # -- one UP level ----------------------------------------------------
 
@@ -356,20 +375,27 @@ class WavefrontTracer(Tracer):
         dt = stored["pos"].dtype
         L = len(lights)
         children = {}
-        # one 5-column (color, t) table per level, read back by TILE
-        # rows: 1-D T(1024) gathers measured ~5x slower than 2-D row
-        # gathers at these widths (tools/PERF_BUDGET.md)
-        ct5 = jnp.concatenate([color_next, t_next[:, None]], axis=-1)
-        ct5t = ct5.reshape(ct5.shape[0] // TILE, TILE * 5)
+        # one 5-channel tile-major (Qt_child, 5, 8, 128) table per
+        # level, read back by whole-tile gathers (1-D and (N, 5)
+        # layouts measured 0.3-0.5 ms per hop, tools/PERF_BUDGET.md)
+        Qn = color_next.shape[0]
+        ct5 = jnp.stack(
+            [color_next[:, 0].reshape(Qn // TILE, 8, 128),
+             color_next[:, 1].reshape(Qn // TILE, 8, 128),
+             color_next[:, 2].reshape(Qn // TILE, 8, 128),
+             color_next[:, 3].reshape(Qn // TILE, 8, 128),
+             t_next.reshape(Qn // TILE, 8, 128)], axis=1)
         for key, offt, capt in segs:
             inv = stored["inv"][key]             # (Tq,) kept slot or -1
             mask = stored["mask"][key]
-            rows = jnp.take(ct5t, offt + jnp.maximum(inv, 0), axis=0,
-                            mode='clip')
-            rows = rows.reshape(-1, 5)
+            rows = jnp.take(ct5, offt + jnp.maximum(inv, 0), axis=0,
+                            mode='clip')         # (Tq, 5, 8, 128)
             has = mask & jnp.repeat(inv >= 0, TILE)
-            ccol = jnp.where(has[:, None], rows[:, :4], 0.0)
-            ct = jnp.where(has, rows[:, 4], INFINITY)
+            ccol = jnp.where(
+                has[:, None],
+                jnp.stack([rows[:, c].reshape(Qc) for c in range(4)],
+                          axis=-1), 0.0)
+            ct = jnp.where(has, rows[:, 4].reshape(Qc), INFINITY)
             if key == "reflect":
                 children["reflect"] = ccol
             elif key.startswith("refract_"):
@@ -416,32 +442,40 @@ class WavefrontTracer(Tracer):
 
         lpos, lcol, lrad = _light_arrays(cc, arrays, lights)
 
-        # pad the root queue to TILE granularity with dead rays
-        Np = (N + TILE - 1) // TILE * TILE
+        # pad the root queue to TILE granularity with dead rays and
+        # build the root table
+        Tq = (N + TILE - 1) // TILE
+        Np = Tq * TILE
         if tmax is None:
             tmax = jnp.full((N,), INFINITY, dtype=dt)
-        if Np != N:
-            pad = Np - N
-            o = jnp.concatenate([o, jnp.zeros((pad, 3), dt)])
-            d = jnp.concatenate(
-                [d, jnp.zeros((pad, 3), dt).at[:, 2].set(1.0)])
-            tmax = jnp.concatenate([tmax, jnp.zeros((pad,), dt)])
-        carry = (o, d, jnp.full((Np,), scene_id, jnp.int32), tmax)
+
+        def padded(a, fill=0.0):
+            if Np == N:
+                return a
+            return jnp.concatenate(
+                [a, jnp.full((Np - N,), fill, a.dtype)])
+
+        Q = _mk_table([
+            padded(o[:, 0]), padded(o[:, 1]), padded(o[:, 2]),
+            padded(d[:, 0]), padded(d[:, 1]), padded(d[:, 2], 1.0),
+            padded(tmax, 0.0),
+            jnp.full((Np,), float(scene_id), dt) if Np == N else
+            padded(jnp.full((N,), float(scene_id), dt), -1.0)], Tq)
         stored_levels = []
         seg_plans = []
         overflow = []
         self.overflow_labels = []
         for level in range(R):
-            segs, Qt = self._plan(carry[0].shape[0] // TILE, level)
-            carry, stored = self._down_level(arrays, carry, segs, Qt,
-                                             level, lights,
-                                             lpos, lcol, lrad, overflow)
+            segs, Qt = self._plan(Q.shape[0], level)
+            Q, stored = self._down_level(arrays, Q, segs, Qt,
+                                         level, lights,
+                                         lpos, lcol, lrad, overflow)
             stored_levels.append(stored)
             seg_plans.append(segs)
 
         # deepest level's children are never traced: transparent miss,
         # i.e. trace at recursion 0 (Trace.hs:60)
-        Qdeep = carry[0].shape[0]
+        Qdeep = Q.shape[0] * TILE
         color = C.ca_transparent((Qdeep,), dt)
         t = jnp.full((Qdeep,), INFINITY, dtype=dt)
         for level in reversed(range(R)):
