@@ -120,6 +120,8 @@ def main():
     mesh_stats = {}
     try:
         mesh_stats = bench_mesh(jax)
+        mesh_stats.update(bench_mesh(jax, cast_shadows=True,
+                                     tag="_meshshadow"))
     except Exception as e:  # noqa: BLE001 -- secondary metric must not
         print(f"# mesh bench failed: {e}", file=sys.stderr)
 
@@ -190,9 +192,11 @@ def bench_aa(jax, compiled, tracer, cam):
     }
 
 
-def bench_mesh(jax):
+def bench_mesh(jax, cast_shadows: bool = False, tag: str = ""):
     """BASELINE config 4: 100k-triangle shared-vertex mesh at 1080p,
-    primary rays + per-light shadows (depth 1)."""
+    primary rays + per-light shadows (depth 1).  cast_shadows=True is
+    the honest row: the mesh itself occludes (the default preserves
+    the reference's Mesh.hs:210 no-shadow quirk)."""
     import jax.numpy as jnp
     import glome_tpu as G
     from glome_tpu.scenes.meshscene import mesh_scene
@@ -200,7 +204,7 @@ def bench_mesh(jax):
     from glome_tpu.render import Renderer, tile_order
 
     t0 = time.time()
-    solid, lights, cam = mesh_scene(100_000)
+    solid, lights, cam = mesh_scene(100_000, cast_shadows=cast_shadows)
     compiled = G.compile_scene(solid, lights)
     arrays = jax.device_put(compiled.arrays())
     cfg = RenderConfig(xres=1920, yres=1080, maxdepth=1)
@@ -237,12 +241,13 @@ def bench_mesh(jax):
         jax.block_until_ready(f_chain(n_long, arrays, o, d, prev0 + eps))
         t_l = time.time() - t0
         dts.append((t_l - t_s) / (n_long - n_short))
-        print(f"# mesh rep {r}: {dts[-1]*1e3:.1f} ms/frame", file=sys.stderr)
+        print(f"# mesh{tag} rep {r}: {dts[-1]*1e3:.1f} ms/frame",
+              file=sys.stderr)
     dt = sorted(dts)[len(dts) // 2]
     n_rays = o.shape[0]
     return {
-        "mesh100k_1080p_ms_per_frame": round(dt * 1e3, 1),
-        "mesh100k_1080p_Mrays_per_s": round(n_rays / dt / 1e6, 3),
+        f"mesh100k_1080p{tag}_ms_per_frame": round(dt * 1e3, 1),
+        f"mesh100k_1080p{tag}_Mrays_per_s": round(n_rays / dt / 1e6, 3),
     }
 
 

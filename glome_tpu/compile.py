@@ -766,7 +766,11 @@ class Compiler:
                 tag_stack=tag_stack[mask][order][:, :TAG_DEPTH],
                 local_tex_stack=empty,
                 local_tag_stack=np.full((Tm, TAG_DEPTH), -1, np.int32),
-                noshadow=np.ones(Tm, bool),     # Mesh.hs:210
+                # reference-faithful default: meshes never occlude
+                # (Mesh.hs:210); mesh(..., cast_shadows=True) opts in
+                # (still honoring an enclosing NoShadow wrapper)
+                noshadow=np.full(Tm, ctx.noshadow
+                                 or not node.cast_shadows, bool),
                 onlyshadow=np.full(Tm, ctx.onlyshadow, bool),
                 csg_id=np.full(Tm, -1, np.int32),
                 csg_clause=np.full(Tm, -1, np.int32),

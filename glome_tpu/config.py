@@ -79,6 +79,14 @@ class RenderConfig:
     # at least this many tiles, so small renders (where every tile is
     # live) stay lossless under any schedule fraction.
     min_tiles: int = 24
+    # Adaptive-AA per-pass trace capacities as fractions of the padded
+    # pixel count (passes 1..5).  None = the stencil's structural
+    # maxima (1/8, 1/8, 1/4, 1/2, 1/2) -- lossless but pays 1.5
+    # rays/px of padded trace capacity regardless of need.  Tuned
+    # schedules cap each pass near its measured occupancy; requests
+    # beyond a cap keep their interpolated value and are counted in
+    # AARenderer.last_overflow.
+    aa_caps: Optional[Tuple[float, float, float, float, float]] = None
     # Miss-shader color (the reference Shader.missshade, Trace.hs:15-19):
     # rays that hit nothing return this opaque color instead of the
     # transparent miss.  None = transparent (mmissshade, Shader.hs:187).
@@ -101,6 +109,11 @@ class RenderConfig:
         kw.setdefault("reflect_capacity", (0.55, 0.40, 0.30))
         kw.setdefault("refract_capacity", (0.04, 0.05, 0.12))
         kw.setdefault("warp_capacity", (0.10, 0.05))
+        # AA pass needs measured on the TestScene golden at 720x480
+        # (rgb-variance stencil counts x1.3 depth-term scale, +~1.5x
+        # margin; checked zero-overflow on the benchmark frame):
+        # pass needs ~ .125/.056/.086/.140/.208 of pixels
+        kw.setdefault("aa_caps", (0.125, 0.09, 0.14, 0.21, 0.31))
         # shadows default to the masked full-width path (lossless, no
         # compaction); the measured near-full tile occupancy makes
         # capped compaction pointless

@@ -40,9 +40,14 @@ PRIM_CHUNK = 4096
 def _mega_enabled():
     """The single-launch Pallas megakernel path (megakernel.py) serves
     all intersection on TPU; the jnp pass-per-group pipeline below is
-    the CPU / oracle path (and the megakernel's parity reference)."""
+    the CPU / oracle path (and the megakernel's parity reference).
+    GLOME_FORCE_MEGA=1 routes CPU through the megakernel in interpret
+    mode (the multi-chip dry run uses this to exercise the production
+    path on the virtual mesh)."""
     import os
     import jax
+    if os.environ.get("GLOME_FORCE_MEGA", "0") == "1":
+        return True
     return (jax.default_backend() == "tpu"
             and os.environ.get("GLOME_DISABLE_MEGA", "0") != "1")
 

@@ -949,7 +949,20 @@ def mega_select(plan: MegaPlan, pf, bb, o=None, d=None, seed_t=None,
                 ok = ok & bit
             return ok
 
-        def emit_dense(ph, bt, bw):
+        def bb_live(bb_idx, lim):
+            """Phase-AABB slab test vs a per-lane t limit."""
+            def slab(lo, hi, oc, iv):
+                ta = (lo - oc) * iv
+                tb = (hi - oc) * iv
+                return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
+            nx, fx = slab(bb_ref[bb_idx, 0], bb_ref[bb_idx, 3], ox, ivx)
+            ny, fy = slab(bb_ref[bb_idx, 1], bb_ref[bb_idx, 4], oy, ivy)
+            nz, fz = slab(bb_ref[bb_idx, 2], bb_ref[bb_idx, 5], oz, ivz)
+            near = jnp.maximum(jnp.maximum(nx, ny), nz)
+            far = jnp.minimum(jnp.minimum(fx, fy), fz)
+            return (near <= far) & (far > 0.0) & (near < lim)
+
+        def emit_dense(ph, bt, bw, pre):
             rok = phase_ray_ok(ph)
 
             def body(args):
@@ -970,34 +983,9 @@ def mega_select(plan: MegaPlan, pf, bb, o=None, d=None, seed_t=None,
                     return bt, bw
                 return jax.lax.fori_loop(0, ph.P, step, (bt, bw))
 
-            conds = []
-            if ph.bb_idx >= 0:
-                def slab(lo, hi, oc, iv):
-                    ta = (lo - oc) * iv
-                    tb = (hi - oc) * iv
-                    return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
-                nx, fx = slab(bb_ref[ph.bb_idx, 0], bb_ref[ph.bb_idx, 3],
-                              ox, ivx)
-                ny, fy = slab(bb_ref[ph.bb_idx, 1], bb_ref[ph.bb_idx, 4],
-                              oy, ivy)
-                nz, fz = slab(bb_ref[ph.bb_idx, 2], bb_ref[ph.bb_idx, 5],
-                              oz, ivz)
-                near = jnp.maximum(jnp.maximum(nx, ny), nz)
-                far = jnp.minimum(jnp.minimum(fx, fy), fz)
-                live = (near <= far) & (far > 0.0) & (near < bt)
-                if rok is not None:
-                    live = live & rok
-                conds.append(jnp.any(live))
-            elif rok is not None:
-                conds.append(jnp.any(rok))
-            if shadow:
-                conds.append(jnp.any(sh_undone(bt)))
-            if conds:
-                cond = conds[0]
-                for c in conds[1:]:
-                    cond = cond & c
-                return jax.lax.cond(cond, body, lambda a: a, (bt, bw))
-            return body((bt, bw))
+            if pre is None:
+                return body((bt, bw))
+            return jax.lax.cond(pre, body, lambda a: a, (bt, bw))
 
         def emit_bvh(ph, bt, bw):
             rok = phase_ray_ok(ph)
@@ -1068,7 +1056,7 @@ def mega_select(plan: MegaPlan, pf, bb, o=None, d=None, seed_t=None,
                 return jax.lax.cond(cond, body, lambda a: a, (bt, bw))
             return body((bt, bw))
 
-        def emit_bvh2(ph, bt, bw):
+        def emit_bvh2(ph, bt, bw, pre):
             """Near-child-first ordered walk over a strictly binary
             tree (accel.build_bvh2) with a per-tile SMEM stack: both
             children slab-tested per scalar sync, the nearer one
@@ -1170,19 +1158,11 @@ def mega_select(plan: MegaPlan, pf, bb, o=None, d=None, seed_t=None,
                     (jnp.int32(0), jnp.int32(0), bt, bw))
                 return bt, bw
 
-            conds = []
-            if rok is not None:
-                conds.append(jnp.any(rok))
-            if shadow:
-                conds.append(jnp.any(sh_undone(bt)))
-            if conds:
-                cond = conds[0]
-                for c in conds[1:]:
-                    cond = cond & c
-                return jax.lax.cond(cond, body, lambda a: a, (bt, bw))
-            return body((bt, bw))
+            if pre is None:
+                return body((bt, bw))
+            return jax.lax.cond(pre, body, lambda a: a, (bt, bw))
 
-        def emit_kwide(ph, bt, bw):
+        def emit_kwide(ph, bt, bw, pre):
             """K-wide frontier walk over the binary bvh2 tree: pop up
             to K nodes per iteration from the SMEM stack, issue all K
             slab tests and any-votes back-to-back, read the votes
@@ -1288,17 +1268,9 @@ def mega_select(plan: MegaPlan, pf, bb, o=None, d=None, seed_t=None,
                     (jnp.int32(1), bt, bw))
                 return bt, bw
 
-            conds = []
-            if rok is not None:
-                conds.append(jnp.any(rok))
-            if shadow:
-                conds.append(jnp.any(sh_undone(bt)))
-            if conds:
-                cond = conds[0]
-                for c in conds[1:]:
-                    cond = cond & c
-                return jax.lax.cond(cond, body, lambda a: a, (bt, bw))
-            return body((bt, bw))
+            if pre is None:
+                return body((bt, bw))
+            return jax.lax.cond(pre, body, lambda a: a, (bt, bw))
 
         def member_interval(ptype, off, F, has_inv):
             """Exact world [t_in, t_out] of one convex member; empty ->
@@ -1340,7 +1312,7 @@ def mega_select(plan: MegaPlan, pf, bb, o=None, d=None, seed_t=None,
                 t1 = jnp.where(jnp.abs(t1) >= INF, t1, t1 * ils)
             return t0, t1
 
-        def emit_convex(ph, bt, bw):
+        def emit_convex(ph, bt, bw, pre):
             rok = phase_ray_ok(ph)
 
             def body(args):
@@ -1368,34 +1340,29 @@ def mega_select(plan: MegaPlan, pf, bb, o=None, d=None, seed_t=None,
                 return (jnp.where(ok, t_cand, bt),
                         jnp.where(ok, jnp.where(entering, w_in, w_out), bw))
 
-            conds = []
-            if rok is not None:
-                conds.append(jnp.any(rok))
-            if shadow:
-                conds.append(jnp.any(sh_undone(bt)))
-            if conds:
-                cond = conds[0]
-                for c in conds[1:]:
-                    cond = cond & c
-                return jax.lax.cond(cond, body, lambda a: a, (bt, bw))
-            return body((bt, bw))
+            if pre is None:
+                return body((bt, bw))
+            return jax.lax.cond(pre, body, lambda a: a, (bt, bw))
 
-        def emit_deferred(ph, bt, bw, ba):
+        def emit_deferred(ph, bt, bw, ba, pre):
             """One deferred CSG prim: exit-only for negative clauses
             plus leave-own-clause check (Csg.hs:33-54); other-clause
-            membership scans run under a per-tile any-candidate guard.
-            For useatex difference-B prims the A-clause scan also
-            tracks the first containing member id into the aux output."""
+            membership scans run under the phase's precomputed
+            seed-based gate (the candidate evals re-run inside the
+            body against the CURRENT best t).  For useatex
+            difference-B prims the A-clause scan also tracks the
+            first containing member id into the aux output."""
             rok = phase_ray_ok(ph)
-            t0, t1 = prim_candidates(ph, ph.pf_base)
-            ok = rok if rok is not None else (seed > -1.0)
-            if shadow:
-                ok = ok & sh_undone(bt)
-            v0 = ok & (t0 > 0.0) & (t0 < bt) & (t0 < INF) & (not ph.neg)
-            v1 = ok & (t1 > 0.0) & (t1 < bt) & (t1 < INF)
 
             def body(args):
-                bt, bw, ba, t0, t1, v0, v1 = args
+                bt, bw, ba = args
+                t0, t1 = prim_candidates(ph, ph.pf_base)
+                ok = rok if rok is not None else (seed > -1.0)
+                if shadow:
+                    ok = ok & sh_undone(bt)
+                v0 = ok & (t0 > 0.0) & (t0 < bt) & (t0 < INF) \
+                    & (not ph.neg)
+                v1 = ok & (t1 > 0.0) & (t1 < bt) & (t1 < INF)
                 first_gp = None
                 for which in (0, 1):
                     tv = t0 if which == 0 else t1
@@ -1447,30 +1414,65 @@ def mega_select(plan: MegaPlan, pf, bb, o=None, d=None, seed_t=None,
                 return (jnp.where(better, tc, bt),
                         jnp.where(better, wc, bw), ba)
 
-            cond = jnp.any(v0 | v1)
-            if shadow:
-                cond = cond & jnp.any(sh_undone(bt))
-            return jax.lax.cond(cond, body,
+            if pre is None:
+                return body((bt, bw, ba))
+            return jax.lax.cond(pre, body,
                                 lambda a: (a[0], a[1], a[2]),
-                                (bt, bw, ba, t0, t1, v0, v1))
+                                (bt, bw, ba))
+
+        # ---- precomputed phase gates: every gate's any-vote is a
+        # scalar/vector queue drain (~150 ns measured); issuing ALL
+        # gate reductions up-front against the SEED best-t and reading
+        # them after one drain replaces ~14 per-phase drains per tile.
+        # Seed gates are a conservative superset of the running-best-t
+        # gates the phases used to compute inline, so bodies run
+        # slightly more often; every body still culls against the
+        # CURRENT best t per lane, so results are identical.
+        pre_sums = []
+        for ph in phases:
+            rok = phase_ray_ok(ph)
+            parts = []
+            if rok is not None:
+                parts.append(rok)
+            if shadow:
+                parts.append(seed > 0.0)
+            if ph.kind == "dense" and ph.bb_idx >= 0:
+                parts.append(bb_live(ph.bb_idx, seed))
+            if ph.kind == "deferred":
+                g = parts[0] if parts else (seed > -1.0)
+                for p in parts[1:]:
+                    g = g & p
+                t0, t1 = prim_candidates(ph, ph.pf_base)
+                v0 = g & (t0 > 0.0) & (t0 < seed) & (t0 < INF) \
+                    & (not ph.neg)
+                v1 = g & (t1 > 0.0) & (t1 < seed) & (t1 < INF)
+                pre_sums.append(jnp.sum((v0 | v1).astype(jnp.float32)))
+            elif not parts:
+                pre_sums.append(None)   # gate is constant-true
+            else:
+                g = parts[0]
+                for p in parts[1:]:
+                    g = g & p
+                pre_sums.append(jnp.sum(g.astype(jnp.float32)))
+        pre_gates = [None if s is None else (s > 0.0) for s in pre_sums]
 
         bt = seed
         bw = jnp.full((8, 128), -1, jnp.int32)
         ba = jnp.full((8, 128), -1.0, jnp.float32)
-        for ph in phases:
+        for ph, pre in zip(phases, pre_gates):
             if ph.kind == "dense":
-                bt, bw = emit_dense(ph, bt, bw)
+                bt, bw = emit_dense(ph, bt, bw, pre)
             elif ph.kind == "bvh":
                 bt, bw = emit_bvh(ph, bt, bw)
             elif ph.kind == "bvh2":
                 if KWIDE:
-                    bt, bw = emit_kwide(ph, bt, bw)
+                    bt, bw = emit_kwide(ph, bt, bw, pre)
                 else:
-                    bt, bw = emit_bvh2(ph, bt, bw)
+                    bt, bw = emit_bvh2(ph, bt, bw, pre)
             elif ph.kind == "convex":
-                bt, bw = emit_convex(ph, bt, bw)
+                bt, bw = emit_convex(ph, bt, bw, pre)
             else:
-                bt, bw, ba = emit_deferred(ph, bt, bw, ba)
+                bt, bw, ba = emit_deferred(ph, bt, bw, ba, pre)
         out_t[0] = bt
         out_w[0] = bw
         out_a[0] = ba

@@ -34,6 +34,19 @@ except ImportError:  # older JAX
 from ..trace import Tracer
 
 
+def _shard_map(f, mesh, in_specs, out_specs):
+    """shard_map with check_vma off when supported: the megakernel's
+    pallas_call (interpret mode on the CPU mesh) has no varying-mesh-
+    axes annotation, which newer JAX rejects under the default
+    check_vma=True."""
+    try:
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except TypeError:  # older JAX without check_vma
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs)
+
+
 def init_distributed(coordinator: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None):
@@ -77,9 +90,9 @@ def sharded_render_fn(tracer: Tracer, mesh: Mesh):
         rgb = res.color[..., :3] * res.color[..., 3:4]
         return rgb, res.t
 
-    fn = shard_map(render_shard, mesh=mesh,
-                   in_specs=(P(), ray_spec, ray_spec),
-                   out_specs=(ray_spec, ray_spec))
+    fn = _shard_map(render_shard, mesh,
+                    in_specs=(P(), ray_spec, ray_spec),
+                    out_specs=(ray_spec, ray_spec))
     return jax.jit(fn)
 
 
@@ -111,7 +124,7 @@ def sharded_train_step_fn(tracer: Tracer, mesh: Mesh, lr: float = 1e-2):
             arrays, grads)
         return new_arrays, loss
 
-    fn = shard_map(step_shard, mesh=mesh,
-                   in_specs=(P(), ray_spec, ray_spec, ray_spec),
-                   out_specs=(P(), P()))
+    fn = _shard_map(step_shard, mesh,
+                    in_specs=(P(), ray_spec, ray_spec, ray_spec),
+                    out_specs=(P(), P()))
     return jax.jit(fn)

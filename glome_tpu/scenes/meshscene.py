@@ -59,8 +59,13 @@ def _displaced_sphere(rows: int, cols: int, seed: int = 0):
     return verts, norms, tris
 
 
-def mesh_scene(n_tris: int = 100_000, seed: int = 0):
-    """(solid, lights, camera) with ~n_tris smooth-shaded triangles."""
+def mesh_scene(n_tris: int = 100_000, seed: int = 0,
+               cast_shadows: bool = False):
+    """(solid, lights, camera) with ~n_tris smooth-shaded triangles.
+
+    cast_shadows=True enables mesh self-shadowing (the honest version
+    of the 1080p bench row; the default keeps the reference's
+    Mesh.hs:210 no-shadow quirk)."""
     cols = max(8, int(np.sqrt(n_tris / 2.0)))
     rows = max(3, n_tris // (2 * cols) + 1)
     verts, norms, tris = _displaced_sphere(rows, cols, seed)
@@ -72,7 +77,8 @@ def mesh_scene(n_tris: int = 100_000, seed: int = 0):
                            ks=0.25, shine=20.0))
     ground = Uniform(Surface(color=(0.25, 0.33, 0.25), ambient=0.2, kd=0.8))
     solid = S.group([
-        S.mesh(verts, norms, rows8, textures=(rock,)),
+        S.mesh(verts, norms, rows8, textures=(rock,),
+               cast_shadows=cast_shadows),
         S.tex(S.plane((0, -1.4, 0), (0, 1, 0)), ground),
     ])
     lights = (light((4.0, 6.0, -4.0), (45.0, 45.0, 42.0)),

@@ -180,6 +180,11 @@ class Mesh(Solid):
     tris: np.ndarray
     textures: Tuple[Texture, ...] = ()
     tags: Tuple[Any, ...] = ()
+    # The reference mesh never occludes shadow rays (Mesh.hs:210
+    # returns False -- a known reference quirk).  cast_shadows=True is
+    # the TPU-native capability the reference lacks: mesh triangles
+    # participate in the any-hit shadow walk like every other prim.
+    cast_shadows: bool = False
 
 
 # --- constructor functions (reference API surface) ------------------------
@@ -320,12 +325,16 @@ def bih(items: Sequence[Solid]) -> Solid:
     return BihMarker(list(items))
 
 
-def mesh(verts, norms, tris, textures=(), tags=()) -> Solid:
+def mesh(verts, norms, tris, textures=(), tags=(),
+         cast_shadows: bool = False) -> Solid:
+    """Shared-vertex mesh.  cast_shadows defaults to the reference's
+    no-shadow quirk (Mesh.hs:210); True enables mesh occlusion."""
     verts = np.asarray(verts, dtype=np.float64).reshape(-1, 3)
     norms = (None if norms is None or len(norms) == 0
              else np.asarray(norms, dtype=np.float64).reshape(-1, 3))
     tris = np.asarray(tris, dtype=np.int32).reshape(-1, 8)
-    return Mesh(verts, norms, tris, tuple(textures), tuple(tags))
+    return Mesh(verts, norms, tris, tuple(textures), tuple(tags),
+                cast_shadows)
 
 
 # --- scene stats (primcount parity, Solid.hs:197,251) ---------------------

@@ -212,3 +212,29 @@ def test_mega_mesh_block_routing(monkeypatch):
     from glome_tpu.intersect import shadow_query
     ws = shadow_query(compiled, arrays, 0, o, d, tm)
     np.testing.assert_array_equal(np.asarray(gs), np.asarray(ws))
+
+
+def test_mesh_cast_shadows_option():
+    """mesh(..., cast_shadows=True) makes triangles occlude shadow
+    rays; the default preserves the reference's no-shadow quirk
+    (Mesh.hs:210) -- VERDICT r3 #7."""
+    from glome_tpu.intersect import shadow_query
+
+    verts, _n, tris = _quad_mesh()
+    matte = Uniform(Surface(color=(1, 1, 1), kd=1.0))
+    lights = [light((0.5, 0.5, -5.0), (1, 1, 1))]
+    # a shadow segment passing straight through the quad at z=0
+    o = jnp.asarray(np.array([[0.4, 0.4, -2.0]], np.float32))
+    d = jnp.asarray(np.array([[0.0, 0.0, 1.0]], np.float32))
+    tmax = jnp.asarray(np.array([4.0], np.float32))
+
+    for cast, want in ((False, False), (True, True)):
+        solid = G.tex(G.mesh(verts, None, tris, cast_shadows=cast),
+                      matte)
+        compiled = G.compile_scene(solid, lights)
+        blocked = shadow_query(compiled, compiled.arrays(), 0, o, d,
+                               tmax)
+        assert bool(np.asarray(blocked)[0]) == want, (cast, blocked)
+        # primary visibility is unaffected by the shadow flag
+        h = intersect(compiled, compiled.arrays(), 0, o, d)
+        assert bool(np.asarray(h.hit)[0])
