@@ -34,6 +34,11 @@ def main(argv=None):
                    help="adaptive subsample/supersample antialiasing")
     p.add_argument("--pick", type=int, nargs=2, metavar=("X", "Y"),
                    help="print the tag stack for the object at pixel X,Y")
+    p.add_argument("--interactive", action="store_true",
+                   help="persistent pick session: read 'X Y' lines from "
+                        "stdin and print tag stacks, compiling the pick "
+                        "trace once (the reference's event loop, "
+                        "Glome.hs:416-438, headless)")
     p.add_argument("--debug-full", action="store_true",
                    help="like --debug but through the FULL trace: "
                         "shadow + child-ray work per level ascends to "
@@ -107,6 +112,11 @@ def main(argv=None):
         print(f"{args.pick[0]} {args.pick[1]}:")
         for t in tags:
             print(t)
+        return
+
+    if args.interactive:
+        from glome_tpu.pick import PickSession
+        PickSession(tracer, cam, arrays).run()
         return
 
     if args.aa:

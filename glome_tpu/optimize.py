@@ -42,7 +42,8 @@ def optimize(tracer: Tracer, arrays, o, d, target_rgb, *,
              steps: int = 100, lr: float = 1e-2,
              checkpoint_dir: Optional[str] = None,
              checkpoint_every: int = 25,
-             on_step: Optional[Callable] = None) -> OptimizeResult:
+             on_step: Optional[Callable] = None,
+             loss_fn: Optional[Callable] = None) -> OptimizeResult:
     """Adam-optimize every float leaf of `arrays` to match target_rgb.
 
     checkpoint_dir: if set, orbax-checkpoints {params, opt_state, step}
@@ -51,12 +52,21 @@ def optimize(tracer: Tracer, arrays, o, d, target_rgb, *,
     sharded over the mesh, grads psum'd) with this module's checkpoint
     pattern.
     """
-    loss_fn = pixel_loss_fn(tracer)
+    if loss_fn is None:
+        loss_fn = pixel_loss_fn(tracer)
     opt = optax.adam(lr)
 
     @jax.jit
     def step_fn(params, opt_state, o, d, target_rgb):
         loss, grads = jax.value_and_grad(loss_fn)(params, o, d, target_rgb)
+        # soft-edge losses can emit isolated non-finite gradient lanes
+        # at exactly-grazing configurations; zero them instead of
+        # poisoning the whole parameter pytree (standard practice for
+        # differentiable rendering loops)
+        grads = jax.tree.map(
+            lambda g: jnp.nan_to_num(g, nan=0.0, posinf=0.0, neginf=0.0)
+            if jnp.issubdtype(jnp.asarray(g).dtype, jnp.floating) else g,
+            grads)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = jax.tree.map(
             lambda p, u: (p + u).astype(p.dtype)

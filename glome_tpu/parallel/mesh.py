@@ -80,10 +80,28 @@ def shard_rays(n_rays: int, mesh: Mesh) -> int:
     return ((n_rays + total - 1) // total) * total
 
 
+def _shard_tracer(tracer: Tracer, mesh: Mesh) -> Tracer:
+    """Per-shard tracer with the wavefront queue floor scaled to the
+    shard: min_tiles guards losslessness of SMALL renders, but inside
+    shard_map each device sees 1/N of the batch, so the global floor
+    padded every shard's queues to N x the intended minimum -- measured
+    as a large part of the virtual-mesh scaling-efficiency loss
+    (SCALING.json, VERDICT r3 #4)."""
+    import dataclasses
+    total = int(mesh.devices.size)
+    cfg = tracer.config
+    floor = max(1, -(-cfg.min_tiles // total))
+    if floor == cfg.min_tiles:
+        return tracer
+    return type(tracer)(tracer.compiled,
+                        dataclasses.replace(cfg, min_tiles=floor))
+
+
 def sharded_render_fn(tracer: Tracer, mesh: Mesh):
     """A pjit-ed render over rays sharded on ('dp','sp'); scene arrays
     replicated.  Returns fn(arrays, o, d) -> (rgb, t)."""
     ray_spec = P(("dp", "sp"))
+    tracer = _shard_tracer(tracer, mesh)
 
     def render_shard(arrays, o, d):
         res = tracer.trace(arrays, o, d)
@@ -105,6 +123,7 @@ def sharded_train_step_fn(tracer: Tracer, mesh: Mesh, lr: float = 1e-2):
     plus the gradient path the reference doesn't have (BASELINE.json
     config 5)."""
     ray_spec = P(("dp", "sp"))
+    tracer = _shard_tracer(tracer, mesh)
 
     def loss_shard(arrays, o, d, target_rgb):
         res = tracer.trace(arrays, o, d)

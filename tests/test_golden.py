@@ -56,3 +56,37 @@ def test_golden_testscene_cpu():
     assert bad == 0, (f"{bad} channel values differ "
                       f"(max {diff.max()}); if intentional, regenerate "
                       f"via tools/gen_golden.py and justify in the commit")
+
+
+@pytest.mark.slow
+def test_golden_testscene_tpu_drift():
+    """Bound TPU-vs-CPU-golden divergence in a test (VERDICT r3 #9):
+    the TPU megakernel render of the same 180x120 frame may differ
+    from the CPU golden only at isolated boundary pixels (f32
+    reassociation amplified at grazing hits), never structurally.
+    Runs only when a TPU backend is active:
+    GLOME_TEST_PLATFORM=tpu (or =axon on the relay) GLOME_SLOW=1 pytest
+    """
+    import jax
+    from PIL import Image
+    from glome_tpu.io import quantize
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("needs the TPU backend (GLOME_TEST_PLATFORM=tpu)")
+    assert os.path.exists(GOLDEN)
+    rgb, _ov = _render()
+    got = quantize(rgb)
+    want = np.asarray(Image.open(GOLDEN))
+    diff = np.abs(got.astype(np.int32)
+                  - want.astype(np.int32)).max(axis=-1)
+    n = want.shape[0] * want.shape[1]
+    # At 180x120 the lattice/portal content is sub-pixel, so the two
+    # backends' different-but-correct f32 op orders flip whole pixels
+    # of content at silhouettes: measured round 4, mean |diff| 1.62
+    # levels, 0.17% of pixels > 64 levels.  The bounds are canaries
+    # for STRUCTURAL breaks (the round-4 warp-normalization bug would
+    # have blown both), not bit parity -- that is policed per backend
+    # by test_golden_testscene_cpu and the 720x480 TPU golden.
+    assert diff.mean() <= 3.0, f"mean drift {diff.mean():.2f} levels"
+    assert (diff > 64).sum() <= 0.006 * n, \
+        f"{int((diff > 64).sum())}/{n} pixels differ by >64 levels"

@@ -1,0 +1,119 @@
+"""BASELINE config 5 end to end (VERDICT r3 #5): full TestScene,
+adaptive-AA forward render as the optimization target, soft-edge
+gradient recovery of a perturbed geometry parameter, orbax-checkpointed
+via glome_tpu.optimize, on whatever backend is ambient (TPU on this
+box; pass --cpu to force CPU).
+
+Pipeline:
+  1. Render the TRUE TestScene with adaptive AA (the reference's
+     actual render cost model) -> target image.
+  2. Perturb one lattice-carve sphere's center+radius in the scene
+     parameter pytree.
+  3. Adam on the SoftTracer pixel loss (soft silhouette edges give the
+     coverage gradients hard visibility lacks), checkpointing every
+     few steps; resuming from the checkpoint dir continues the run.
+  4. Print the loss curve and the recovered-vs-true parameter error.
+
+Usage: python tools/config5_e2e.py [--steps 24] [--xres 180]
+          [--yres 120] [--ckpt /tmp/glome_config5] [--cpu]
+"""
+import argparse
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=24)
+    ap.add_argument("--xres", type=int, default=180)
+    ap.add_argument("--yres", type=int, default=120)
+    ap.add_argument("--ckpt", default="/tmp/glome_config5")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--lr", type=float, default=2e-2)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import glome_tpu as G
+    from glome_tpu.scenes import test_scene
+    from glome_tpu.config import RenderConfig
+    from glome_tpu.render import Renderer
+    from glome_tpu.aa import AARenderer
+    from glome_tpu.soft import SoftTracer, soft_pixel_loss_fn
+    from glome_tpu.optimize import optimize
+
+    solid, lights, cam = test_scene()
+    compiled = G.compile_scene(solid, lights)
+    arrays_true = jax.device_put(compiled.arrays())
+    cfg = RenderConfig.tuned(xres=args.xres, yres=args.yres)
+    tracer = G.WavefrontTracer(compiled, cfg)
+
+    # 1. adaptive-AA forward of the TRUE scene -> target pixels
+    aa = AARenderer(tracer, cam, cfg)
+    rgb_t, _depth = aa.render(arrays_true)
+    print(f"# AA target rendered: "
+          f"{sum(aa.last_ray_counts.values())/(args.xres*args.yres):.3f} "
+          f"rays/px, overflow {sum(aa.last_overflow.values())}",
+          flush=True)
+
+    renderer = Renderer(tracer, cam, cfg)
+    ys, xs = np.mgrid[0:cfg.yres, 0:cfg.xres]
+    o, d = renderer.rays_for_pixels(xs.reshape(-1).astype(np.float32),
+                                    ys.reshape(-1).astype(np.float32))
+    target = jnp.asarray(np.asarray(rgb_t).reshape(-1, 3))
+
+    # 2. perturb a carve sphere (scene 0, group 13: the squashed refractive sphere (directly visible))
+    gi = 13
+    true_c = np.asarray(arrays_true["scenes"][0][gi]["center"])
+    true_r = np.asarray(arrays_true["scenes"][0][gi]["radius"])
+    pert = dict(arrays_true)
+    sc0 = list(arrays_true["scenes"][0])
+    gp = dict(sc0[gi])
+    gp["center"] = gp["center"] + jnp.asarray([[0.25, -0.2, 0.15]])
+    gp["radius"] = gp["radius"] * 1.15
+    sc0[gi] = gp
+    pert["scenes"] = list(arrays_true["scenes"])
+    pert["scenes"][0] = sc0
+
+    def err(a):
+        return (float(np.abs(np.asarray(a["scenes"][0][gi]["center"])
+                             - true_c).max()),
+                float(np.abs(np.asarray(a["scenes"][0][gi]["radius"])
+                             - true_r).max()))
+
+    e0 = err(pert)
+    print(f"# start param error: center {e0[0]:.4f} radius {e0[1]:.4f}",
+          flush=True)
+
+    # 3. soft-edge optimization, orbax-checkpointed
+    soft = SoftTracer(tracer)
+    res = optimize(tracer, pert, jnp.asarray(o), jnp.asarray(d), target,
+                   steps=args.steps, lr=args.lr,
+                   checkpoint_dir=args.ckpt, checkpoint_every=8,
+                   loss_fn=soft_pixel_loss_fn(soft),
+                   on_step=lambda i, l: print(f"# step {i}: {l:.6f}",
+                                              flush=True))
+
+    e1 = err(res.arrays)
+    print(f"# final param error: center {e1[0]:.4f} radius {e1[1]:.4f}",
+          flush=True)
+    out = {
+        "losses": res.losses,
+        "start_err": e0, "final_err": e1,
+        "loss_drop": (res.losses[0] / max(res.losses[-1], 1e-12)
+                      if res.losses else None),
+        "recovered": bool(e1[0] < e0[0] and res.losses
+                          and res.losses[-1] < res.losses[0]),
+    }
+    print(json.dumps(out))
+    return 0 if out["recovered"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

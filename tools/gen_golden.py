@@ -47,7 +47,23 @@ def regen_aa():
     print("wrote", out)
 
 
+def regen_nff():
+    """Regenerate the NFF conformance goldens
+    (tests/test_spd_conformance.py)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tests"))
+    from test_spd_conformance import _render_nff
+    for name in ("miniflake.nff", "gears.nff"):
+        rgb, _depth = _render_nff(name)
+        out = os.path.join(os.path.dirname(__file__), "..", "tests",
+                           "golden", name.replace(".nff", "_rgb.npy"))
+        np.save(out, np.asarray(rgb))
+        print("wrote", out)
+
+
 if "--aa" in sys.argv:
     regen_aa()
+elif "--nff" in sys.argv:
+    regen_nff()
 else:
     regen_main()
