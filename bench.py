@@ -94,7 +94,8 @@ def main():
     t0 = time.time()
     out = f_chain(n_short, arrays, o, d, prev0)
     jax.block_until_ready(out)
-    print(f"# compile+first chain {time.time()-t0:.1f}s", file=sys.stderr)
+    compile_s = time.time() - t0
+    print(f"# compile+first chain {compile_s:.1f}s", file=sys.stderr)
     assert np.all(np.isfinite(np.asarray(out)))
 
     def timed(n, p0):
@@ -117,6 +118,7 @@ def main():
     mrays = n_rays / dt / 1e6
     print(f"# {dt*1e3:.1f} ms/frame, {n_rays} primary rays", file=sys.stderr)
 
+    failures = []
     mesh_stats = {}
     try:
         mesh_stats = bench_mesh(jax)
@@ -124,21 +126,28 @@ def main():
                                      tag="_meshshadow"))
     except Exception as e:  # noqa: BLE001 -- secondary metric must not
         print(f"# mesh bench failed: {e}", file=sys.stderr)
+        failures.append(f"mesh: {e}")
 
     aa_stats = {}
     try:
         aa_stats = bench_aa(jax, compiled, tracer, cam)
     except Exception as e:  # noqa: BLE001
         print(f"# aa bench failed: {e}", file=sys.stderr)
+        failures.append(f"aa: {e}")
 
     print(json.dumps({
         "metric": "TestScene_720x480_depth3_primary_Mrays_per_s",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 2),
+        "compile_s": round(compile_s, 1),
         **mesh_stats,
         **aa_stats,
     }))
+    if failures:
+        # a broken section must not quietly ship (VERDICT r4 #2)
+        print(f"# BENCH SECTIONS FAILED: {failures}", file=sys.stderr)
+        sys.exit(1)
 
 
 def bench_aa(jax, compiled, tracer, cam):
@@ -160,7 +169,7 @@ def bench_aa(jax, compiled, tracer, cam):
         def body(_, c):
             p, _ = c
             l2 = {**a["lights"], "pos": a["lights"]["pos"] + p * 1e-6}
-            rgb, _depth, counts = aa._render({**a, "lights": l2})
+            rgb, _depth, counts, _ov = aa._render({**a, "lights": l2})
             tot = sum(jnp.asarray(v) for v in counts.values())
             return (jnp.mean(rgb, axis=(0, 1)), tot)
         return jax.lax.fori_loop(0, n, body, (prev, jnp.int32(0)))
@@ -170,8 +179,9 @@ def bench_aa(jax, compiled, tracer, cam):
     t0 = time.time()
     out = f_chain(n_short, arrays, prev0)
     jax.block_until_ready(out)
+    aa_compile_s = time.time() - t0
     n_rays = int(out[1])
-    print(f"# aa compile+first {time.time()-t0:.1f}s; "
+    print(f"# aa compile+first {aa_compile_s:.1f}s; "
           f"{n_rays/(xres*yres):.3f} rays/px", file=sys.stderr)
     dts = []
     for r in range(3):
@@ -189,6 +199,7 @@ def bench_aa(jax, compiled, tracer, cam):
         "aa_720x480_ms_per_frame": round(dt * 1e3, 1),
         "aa_rays_per_px": round(n_rays / (xres * yres), 3),
         "aa_720x480_Mrays_per_s": round(n_rays / dt / 1e6, 3),
+        "aa_compile_s": round(aa_compile_s, 1),
     }
 
 
