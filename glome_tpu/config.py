@@ -96,19 +96,42 @@ class RenderConfig:
     @classmethod
     def tuned(cls, **kw):
         """Queue-capacity schedule measured on TestScene at 720x480 in
-        TILE units (GLOME_OCC=1 live-tile counts at lossless caps:
-        L0/338t: shadow 336, reflect 153, refract 9, warp 22; L1:
-        reflect 91, refract 9, warp 7; L2: reflect 35, refract 14,
-        warp 2), with >=1.2x margin.  Tile-granular queues keep a tile
-        when ANY parent lane spawns that child, so tile occupancy runs
-        well above element occupancy (L0 reflect: 45% of tiles vs 26%
-        of rays).  Verified zero-overflow (TraceResult.overflow) and
-        golden-image identical to the exact schedule.  For other scenes
-        check TraceResult.overflow -- any nonzero count means
-        under-tracing; widen the corresponding capacity (1.0 = exact)."""
-        kw.setdefault("reflect_capacity", (0.55, 0.40, 0.30))
-        kw.setdefault("refract_capacity", (0.04, 0.05, 0.12))
-        kw.setdefault("warp_capacity", (0.10, 0.05))
+        128-lane ROW units (see the inline occupancy numbers below).
+        Row-granular queues keep a row when ANY of its 128 parent
+        lanes spawns that child, so row occupancy still runs above
+        element occupancy, but 1.5-3x tighter than the old 1024-lane
+        tile granularity.  Verified zero-overflow
+        (TraceResult.overflow) on the benchmark frame and the golden.
+        For other scenes check TraceResult.overflow -- any nonzero
+        count means under-tracing; widen the corresponding capacity
+        (1.0 = exact)."""
+        # Row-granular schedule (round 5): capacities are fractions of
+        # the parent queue's 128-lane ROWS.  Row occupancy is
+        # resolution-dependent (one row covers 128 pixels of a 32x32
+        # beam, so at low resolution the live-region PERIMETER term
+        # dominates and fractions rise); tuned() therefore picks by
+        # pixel count, with ~1.25-1.4x margin over the measured live
+        # rows in both regimes:
+        #  - 720x480 (GLOME_OCC=2, lossless): L0/2704r: shadow 2559,
+        #    reflect 972 (.36), refract 43, warp 130; L1/~1636r tuned:
+        #    shadow 1037 (.63), reflect 333 (.20), refract 24, warp
+        #    30; L2/~597r: shadow 345 (.58).
+        #  - 180x120: L0/176r: reflect 85 (.48), refract 6, warp 16
+        #    (.09); L1 shadow 105 rows.
+        small = (kw.get("xres", 720) * kw.get("yres", 480)) < 300_000
+        if small:
+            kw.setdefault("reflect_capacity", (0.65, 0.45, 0.35))
+            kw.setdefault("refract_capacity", (0.05, 0.05, 0.15))
+            kw.setdefault("warp_capacity", (0.13, 0.08))
+            kw.setdefault("shadow_capacity", (1.0, 0.85, 0.80))
+        else:
+            kw.setdefault("reflect_capacity", (0.45, 0.27, 0.22))
+            kw.setdefault("refract_capacity", (0.025, 0.025, 0.10))
+            kw.setdefault("warp_capacity", (0.065, 0.035))
+            kw.setdefault("shadow_capacity", (1.0, 0.80, 0.75))
+        # row granularity needs an 8x smaller floor for the same
+        # small-render losslessness (6 tiles = 48 rows)
+        kw.setdefault("min_tiles", 6)
         # AA pass needs measured on the TestScene golden at 720x480
         # (rgb-variance stencil counts x1.3 depth-term scale, +~1.5x
         # margin; checked zero-overflow on the benchmark frame):

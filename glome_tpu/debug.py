@@ -205,13 +205,15 @@ def trace_debug_counts(compiled, arrays, o, d, recurs: int = 3,
     for segs, stored, qp, qn in reversed(levels):
         tot_p, tot_n = qp, qn
         cn2 = jnp.stack([up_p, up_n], axis=-1)
-        cn2t = cn2.reshape(cn2.shape[0] // TILE, TILE * 2)
+        # queue segments are laid out in 128-lane ROW units
+        from .trace_wavefront import ROW
+        cn2t = cn2.reshape(cn2.shape[0] // ROW, ROW * 2)
         for key, offt, capt in segs:
             inv = stored["inv"][key]
             mask = stored["mask"][key]
             rows = jnp.take(cn2t, offt + jnp.maximum(inv, 0), axis=0,
                             mode='clip').reshape(-1, 2)
-            has = mask & jnp.repeat(inv >= 0, TILE)
+            has = mask & jnp.repeat(inv >= 0, ROW)
             tot_p = tot_p + jnp.where(has, rows[:, 0], 0)
             tot_n = tot_n + jnp.where(has, rows[:, 1], 0)
         up_p, up_n = tot_p, tot_n

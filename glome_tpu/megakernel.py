@@ -1564,8 +1564,16 @@ def finalize(compiled, plan: MegaPlan, arrays, o, d, t, wid, aux=None,
     # paths flush denormals and canonicalize NaNs, destroying reinterpreted
     # int bits; every meta value is a small integer (< 2^24), which
     # float32 carries exactly.
-    f_max = max((_field_width(pt) + (12 if tr else 0)
-                 for pt, tr, _g, _w in plan.combos), default=1)
+    #
+    # Layout (round 5): the inverse matrix lives in a FIXED 12-column
+    # slot after the (padded) field columns for EVERY transformed
+    # group, so ONE masked select + ONE object-space ray transform
+    # serves all transformed combos -- the per-combo minv selects were
+    # the largest single XLA-glue op of the frame (1.36 ms at L0,
+    # slice_select_fusion in the device trace).
+    FW = max((_field_width(pt) for pt, _tr, _g, _w in plan.combos),
+             default=1)
+    f_max = FW + 12
     from .compile import group_device_params
     tabs = []
     for si, sc in enumerate(compiled.scenes):
@@ -1578,15 +1586,17 @@ def finalize(compiled, plan: MegaPlan, arrays, o, d, t, wid, aux=None,
                 v = jnp.asarray(ga[name])
                 cols.append(v.reshape(v.shape[0], -1) if v.ndim > 1
                             else v[:, None])
-            if g.m_inv is not None:
-                cols.append(jnp.asarray(ga["m_inv"]).reshape(-1, 12))
             rows_k = jnp.concatenate(cols, axis=-1).astype(dt)
-            if rows_k.shape[1] < f_max:
+            if rows_k.shape[1] < FW:
                 rows_k = jnp.concatenate(
                     [rows_k, jnp.zeros((rows_k.shape[0],
-                                        f_max - rows_k.shape[1]), dt)],
+                                        FW - rows_k.shape[1]), dt)],
                     axis=-1)
-            tabs.append(rows_k)
+            if g.m_inv is not None:
+                mi = jnp.asarray(ga["m_inv"]).reshape(-1, 12).astype(dt)
+            else:
+                mi = jnp.zeros((rows_k.shape[0], 12), dt)
+            tabs.append(jnp.concatenate([rows_k, mi], axis=-1))
     if tabs:
         metaf_np = getattr(plan, "_meta_tab_f32", None)
         if metaf_np is None:
@@ -1610,12 +1620,35 @@ def finalize(compiled, plan: MegaPlan, arrays, o, d, t, wid, aux=None,
     cid = meta[:, TD + GD + 2]
     atex = (meta[:, TD + GD + 4] > 0) & hit
 
-    ident34 = jnp.asarray(
-        np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0]], np.float32)
-        .reshape(-1))
+    # ONE shared object-space ray for all transformed combos: the
+    # fixed minv slot makes the select combo-independent, and the
+    # transform runs as flat-plane FMAs (the (N, 3, 4) einsum form
+    # forced {0,1} relayout copies of every operand, ~0.8 ms/level)
+    xf_cids = [k for k, (_p, tr, _g, _w) in enumerate(plan.combos) if tr]
+    any_xf = jnp.zeros((N,), bool)
+    for k in xf_cids:
+        any_xf = any_xf | (cid == k)
+    any_xf = any_xf & hit
+    if xf_cids:
+        ident12 = jnp.asarray(
+            np.array([1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0], np.float32))
+        m12 = jnp.where(any_xf[:, None], prow[:, FW:FW + 12], ident12)
+        m = [m12[:, q] for q in range(12)]
+        ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+        dx_, dy_, dz_ = d[:, 0], d[:, 1], d[:, 2]
+        pox = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
+        poy = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
+        poz = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
+        pdx = m[0] * dx_ + m[1] * dy_ + m[2] * dz_
+        pdy = m[4] * dx_ + m[5] * dy_ + m[6] * dz_
+        pdz = m[8] * dx_ + m[9] * dy_ + m[10] * dz_
+        ils = 1.0 / jnp.sqrt(jnp.maximum(
+            pdx * pdx + pdy * pdy + pdz * pdz, 1e-30))
+        oo = jnp.stack([pox, poy, poz], axis=-1)
+        du = jnp.stack([pdx * ils, pdy * ils, pdz * ils], axis=-1)
+
     for k, (ptype, transformed, glist, warp_any) in enumerate(plan.combos):
         mask = hit & (cid == k)
-        nfld = _field_width(ptype)
         params = {}
         off = 0
         for name, wdt in FIELDS[ptype]:
@@ -1626,13 +1659,6 @@ def finalize(compiled, plan: MegaPlan, arrays, o, d, t, wid, aux=None,
             params[name] = col if wdt > 1 else col[:, 0]
             off += wdt
         if transformed:
-            minv = jnp.where(mask[:, None], prow[:, nfld:nfld + 12],
-                             ident34).reshape(N, 3, 4)
-            oo = apply_point(minv, o)
-            dd = apply_vector(minv, d)
-            ils = 1.0 / jnp.sqrt(jnp.maximum(jnp.sum(dd * dd, axis=-1),
-                                             1e-30))
-            du = dd * ils[..., None]
             t0, n0, t1, n1 = _kernel_hits2(ptype, params, oo, du)
             t0 = t0 * ils
             t1 = t1 * ils
@@ -1644,13 +1670,23 @@ def finalize(compiled, plan: MegaPlan, arrays, o, d, t, wid, aux=None,
         tsel = jnp.where(jnp.abs(tsel - t) < 1e-2 * (1.0 + jnp.abs(t)),
                          tsel, t)
         nsel = jnp.where((slot == 0)[:, None], n0, n1)
-        if transformed:
-            nsel = vnorm(apply_normal_T(minv, nsel))
         best_t = jnp.where(mask, tsel, best_t)
         norm = jnp.where(mask[:, None], nsel, norm)
         if transformed and warp_any:
             obj_o = jnp.where(mask[:, None], oo, obj_o)
             obj_d = jnp.where(mask[:, None], du, obj_d)
+
+    # object-space winner normals -> world, once for every transformed
+    # combo: n_world = normalize(M_inv^T n_obj) (Vec.hs:543 semantics)
+    if xf_cids:
+        nx_, ny_, nz_ = norm[:, 0], norm[:, 1], norm[:, 2]
+        wx = m[0] * nx_ + m[4] * ny_ + m[8] * nz_
+        wy = m[1] * nx_ + m[5] * ny_ + m[9] * nz_
+        wz = m[2] * nx_ + m[6] * ny_ + m[10] * nz_
+        il = 1.0 / jnp.sqrt(jnp.maximum(wx * wx + wy * wy + wz * wz,
+                                        1e-30))
+        nw = jnp.stack([wx * il, wy * il, wz * il], axis=-1)
+        norm = jnp.where(any_xf[:, None], nw, norm)
 
     norm = jnp.where(neg[:, None], -norm, norm)
 

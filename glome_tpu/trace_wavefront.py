@@ -60,7 +60,20 @@ from .config import DELTA, INFINITY, RenderConfig
 from .intersect import Hit, intersect_multi_table, shadow_query_table
 from .trace import TraceResult, Tracer, _light_arrays
 
-TILE = 1024  # queue granularity: one (8,128) kernel tile
+TILE = 1024  # kernel tile: one (8,128) vector block
+ROW = 128    # queue granularity: one 128-lane vector row
+
+# Round 5: queue selection moved from TILE (1024-lane) to ROW
+# (128-lane) granularity.  Measured on the chip (tools/micro_gather.py
+# probe): whole-row jnp.take on a (R, 128) view is free at frame
+# scale, while per-LANE gathers cost ~1 ms per 128k-element channel --
+# so 128 lanes is the finest granularity the XLA gather path serves
+# at full bandwidth.  Row occupancy of the TestScene child queues runs
+# 1.5-3x above tile occupancy (GLOME_OCC=2: L1 shadow 1037 live rows
+# vs 186 live tiles * 8; L2 reflect 97 rows vs 35 tiles * 8), and a
+# launched-but-dead tile still pays the kernel's per-phase gate
+# prologue, so row compaction shrinks the launched width of every
+# child and shadow launch by the same factor.
 
 
 def _lvl(seq, level, default):
@@ -75,21 +88,32 @@ def _lvl(seq, level, default):
     return float(seq[min(level, len(seq) - 1)])
 
 
-def _tile_sel(mask, cap_t):
-    """Tile-bucket selection for an element mask of (Tq*TILE,):
-    (tidx, inv, n_dropped, n_live) where tidx (cap_t,) lists kept tile
-    ids (fill Tq), inv (Tq,) maps a parent tile to its kept slot or -1,
-    n_dropped counts masked elements in dropped tiles, and n_live
-    counts live tiles (for occupancy instrumentation)."""
-    Tq = mask.shape[0] // TILE
-    tl = jnp.any(mask.reshape(Tq, TILE), axis=1)
-    pos = jnp.cumsum(tl.astype(jnp.int32)) - 1
-    keep = tl & (pos < cap_t)
+def _row_sel(mask, cap_r):
+    """Row-bucket selection for an element mask of (R*ROW,):
+    (ridx, inv, n_dropped, n_live) where ridx (cap_r,) lists kept
+    128-lane row ids (fill R), inv (R,) maps a parent row to its kept
+    slot or -1, n_dropped counts masked elements in dropped rows, and
+    n_live counts live rows (for occupancy instrumentation)."""
+    R = mask.shape[0] // ROW
+    rl = jnp.any(mask.reshape(R, ROW), axis=1)
+    pos = jnp.cumsum(rl.astype(jnp.int32)) - 1
+    keep = rl & (pos < cap_r)
     inv = jnp.where(keep, pos, -1)
-    (tidx,) = jnp.nonzero(tl, size=cap_t, fill_value=Tq)
-    dropped = jnp.sum(jnp.where(jnp.repeat(tl & ~keep, TILE), mask,
+    (ridx,) = jnp.nonzero(rl, size=cap_r, fill_value=R)
+    dropped = jnp.sum(jnp.where(jnp.repeat(rl & ~keep, ROW), mask,
                                 False).astype(jnp.int32))
-    return tidx, inv, dropped, jnp.sum(tl.astype(jnp.int32))
+    return ridx, inv, dropped, jnp.sum(rl.astype(jnp.int32))
+
+
+def _take_rows(plane, ridx):
+    """Whole-row compaction of one flat (N,) channel plane:
+    -> (cap_r, 128); out-of-range ridx rows fill with zeros (dead
+    rows: tmax 0, sid 0 -> the kernels cull them lane-wise for free;
+    sid 0 is harmless because tmax 0 already makes every candidate
+    fail t < tmax)."""
+    R = plane.shape[0] // ROW
+    return jnp.take(plane.reshape(R, ROW), ridx, axis=0, mode='fill',
+                    fill_value=0)
 
 
 def _mk_table(channels, Tq):
@@ -98,12 +122,21 @@ def _mk_table(channels, Tq):
     return jnp.stack([c.reshape(Tq, 8, 128) for c in channels], axis=1)
 
 
-def _take_tiles(table, tidx):
-    """Whole-tile compaction: (Tq, ...) -> (cap_t, ...), out-of-range
-    tidx rows fill with zeros (dead tiles: tmax 0, sid 0 -> the
-    kernels cull them lane-wise for free; sid 0 is harmless because
-    tmax 0 already makes every candidate fail t < tmax)."""
-    return jnp.take(table, tidx, axis=0, mode='fill', fill_value=0)
+def _rows_to_table(rows_by_ch, Qr):
+    """Assemble 8 channel row lists (each a list of (r_i, 128) blocks
+    summing to <= Qr rows) into the (Qr/8, 8, 8, 128) tile-major
+    queue table.  Missing rows pad dead (tmax 0, dz 1, sid -1)."""
+    Qt = Qr // 8
+    planes = []
+    for c, parts in enumerate(rows_by_ch):
+        have = sum(p.shape[0] for p in parts)
+        if have < Qr:
+            fill = 1.0 if c == 5 else (-1.0 if c == 7 else 0.0)
+            parts = parts + [jnp.full((Qr - have, ROW), fill,
+                                      parts[0].dtype)]
+        cat = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        planes.append(cat.reshape(Qt, 8, 128))
+    return jnp.stack(planes, axis=1)
 
 
 class WavefrontTracer(Tracer):
@@ -122,10 +155,12 @@ class WavefrontTracer(Tracer):
 
     def _plan(self, queue_t: int, level: int):
         """Child-queue segment layout spawned from a `queue_t`-TILE
-        queue at depth `level`: [(key, tile_offset, tile_cap)], total
-        tiles Qt."""
+        queue at depth `level`: [(key, row_offset, row_cap)] in
+        128-lane ROW units, plus the total child queue rows Qr
+        (padded to a whole number of kernel tiles)."""
         cc = self.compiled
         cfg = self.config
+        queue_r = queue_t * (TILE // ROW)
         s = cfg.secondary_capacity
         refl_f = _lvl(cfg.reflect_capacity, level, s)
         refr_f = _lvl(cfg.refract_capacity, level, s * 0.5)
@@ -134,10 +169,10 @@ class WavefrontTracer(Tracer):
         def cap(frac):
             # the min_tiles floor makes small renders (few tiles, all
             # live) structurally lossless regardless of the fraction
-            return max(min(queue_t, cfg.min_tiles), 1,
-                       min(int(math.ceil(queue_t * frac)), queue_t))
+            return max(min(queue_r, cfg.min_tiles * (TILE // ROW)), 1,
+                       min(int(math.ceil(queue_r * frac)), queue_r))
 
-        segs = []  # (key, tile_offset, tile_cap)
+        segs = []  # (key, row_offset, row_cap)
         off = 0
         if len(self.reflect_texids):
             c = cap(refl_f)
@@ -153,7 +188,9 @@ class WavefrontTracer(Tracer):
             off += c
             segs.append((f"warp_target_{wi}", off, c))
             off += c
-        return segs, max(off, 1)
+        rows = max(off, 1)
+        per_t = TILE // ROW
+        return segs, ((rows + per_t - 1) // per_t) * per_t
 
     def _count_overflow(self, overflow, label, dropped, lossless):
         """Record rays dropped by one capped tile selection (ADVICE r1:
@@ -164,29 +201,43 @@ class WavefrontTracer(Tracer):
         if label not in self.overflow_labels:
             self.overflow_labels.append(label)
 
-    def _note_occ(self, overflow, label, n_live, Tq):
+    def _note_occ(self, overflow, label, n_live, Tq, mask=None):
         """GLOME_OCC=1: report live-tile counts through the overflow
-        channel (schedule-tuning instrumentation)."""
+        channel (schedule-tuning instrumentation).  GLOME_OCC=2 adds
+        live-ROW (128-lane) and live-LANE counts from `mask`."""
         import os
-        if not os.environ.get("GLOME_OCC"):
+        lvl = os.environ.get("GLOME_OCC")
+        if not lvl:
             return
         overflow.append(n_live)
         lbl = f"occ!{label}/of_{Tq}"
         if lbl not in self.overflow_labels:
             self.overflow_labels.append(lbl)
+        if lvl == "2" and mask is not None:
+            nrow = mask.shape[0] // 128
+            overflow.append(jnp.sum(jnp.any(
+                mask.reshape(nrow, 128), axis=1).astype(jnp.int32)))
+            overflow.append(jnp.sum(mask.astype(jnp.int32)))
+            for suff, tot in (("rows", nrow), ("lanes", mask.shape[0])):
+                lbl = f"occ!{label}.{suff}/of_{tot}"
+                if lbl not in self.overflow_labels:
+                    self.overflow_labels.append(lbl)
 
     # -- one DOWN level ------------------------------------------------------
 
-    def _down_level(self, arrays, Q, segs, Qt, level, lights,
-                    lpos, lcol, lrad, overflow):
+    def _down_level(self, arrays, Q, segs, Qr, level, lights,
+                    lpos, lcol, lrad, overflow, last=False):
         """Intersect + preshade one level's queue table; spawn children
-        into a fresh (Qt,)-tile queue table laid out by `segs`.
+        into a fresh (Qr,)-row queue table laid out by `segs`.
         Returns (child table, stored shading inputs).  Every capped
-        tile selection appends its dropped-ray count to `overflow`
+        row selection appends its dropped-ray count to `overflow`
         (labels in overflow_labels).  All per-ray math runs on flat
-        (N,) component planes."""
+        (N,) component planes.  `last` marks the deepest level, whose
+        children are never traced: child-queue construction is skipped
+        and the up pass substitutes the transparent miss directly."""
         Tq = Q.shape[0]
         Qc = Tq * TILE
+        Rq = Qc // ROW
         dt = Q.dtype
         cc = self.compiled
         hit = intersect_multi_table(cc, arrays, Q)
@@ -203,16 +254,18 @@ class WavefrontTracer(Tracer):
         soz = pz + nz * DELTA
 
         # fused per-light shadow batch (preshade, Shader.hs:65-80):
-        # per light, live tiles are kept (capacity 1.0 = lossless) and
-        # inactive lanes inside kept tiles carry tmax 0, which the
+        # per light, live ROWs are kept (capacity 1.0 = lossless) and
+        # inactive lanes inside kept rows carry tmax 0, which the
         # kernels cull for free.  shadow_capacity < 1 caps the kept
-        # tiles (with overflow accounting).
+        # rows (with overflow accounting).
+        per_t = TILE // ROW
         sh_f = _lvl(self.config.shadow_capacity, level, 1.0)
-        sh_cap = max(min(Tq, self.config.min_tiles), 1,
-                     min(int(math.ceil(Tq * sh_f)), Tq))
+        sh_cap = max(min(Rq, self.config.min_tiles * per_t), 1,
+                     min(int(math.ceil(Rq * sh_f)), Rq))
 
         light_pre = []
         sh_segments = []
+        sh_rows = [[] for _ in range(8)]
         for li, l in enumerate(lights):
             lvx = lpos[li, 0] - px
             lvy = lpos[li, 1] - py
@@ -225,31 +278,34 @@ class WavefrontTracer(Tracer):
             light_pre.append([llen, (ldx, ldy, ldz), active])
             if not l.shadow:
                 continue
-            tidx, inv, dropped, n_live = _tile_sel(active, sh_cap)
-            self._note_occ(overflow, f"L{level}/shadow{li}", n_live, Tq)
+            ridx, inv, dropped, n_live = _row_sel(active, sh_cap)
+            self._note_occ(overflow, f"L{level}/shadow{li}", n_live, Rq,
+                           mask=active)
             self._count_overflow(overflow, f"L{level}/shadow{li}",
-                                 dropped, sh_cap >= Tq)
-            tbl = _mk_table([
-                sox, soy, soz,
-                jnp.where(active, ldx, 0.0),
-                jnp.where(active, ldy, 0.0),
-                jnp.where(active, ldz, 1.0),
-                jnp.where(active, llen - 2.0 * DELTA, 0.0),
-                jnp.where(active, sidf, -1.0)], Tq)
-            sh_segments.append((li, inv, sh_cap,
-                                _take_tiles(tbl, tidx)))
+                                 dropped, sh_cap >= Rq)
+            chans = [sox, soy, soz,
+                     jnp.where(active, ldx, 0.0),
+                     jnp.where(active, ldy, 0.0),
+                     jnp.where(active, ldz, 1.0),
+                     jnp.where(active, llen - 2.0 * DELTA, 0.0),
+                     jnp.where(active, sidf, -1.0)]
+            for c in range(8):
+                sh_rows[c].append(_take_rows(chans[c], ridx))
+            sh_segments.append((li, inv, sh_cap))
         if sh_segments:
+            Sr = len(sh_segments) * sh_cap
+            Srp = ((Sr + per_t - 1) // per_t) * per_t
             sb = shadow_query_table(
-                cc, arrays,
-                jnp.concatenate([s[3] for s in sh_segments], axis=0))
+                cc, arrays, _rows_to_table(sh_rows, Srp))
+            sbr = sb.reshape(-1, ROW)                 # (Srp, 128) rows
             offb = 0
-            for li, inv, cap_t, _t in sh_segments:
-                seg = sb[offb:offb + cap_t]           # (cap_t, 8, 128)
-                offb += cap_t
-                rows = jnp.take(seg, jnp.maximum(inv, 0), axis=0,
-                                mode='clip')          # (Tq, 8, 128)
+            for li, inv, cap_r in sh_segments:
+                rows = jnp.take(sbr[offb:offb + cap_r],
+                                jnp.maximum(inv, 0), axis=0,
+                                mode='clip')          # (Rq, 128)
+                offb += cap_r
                 blocked = (rows.reshape(Qc)
-                           & jnp.repeat(inv >= 0, TILE))
+                           & jnp.repeat(inv >= 0, ROW))
                 light_pre[li][2] = light_pre[li][2] & ~blocked
         if light_pre:
             contrib = jnp.stack(
@@ -266,9 +322,10 @@ class WavefrontTracer(Tracer):
             lactive = jnp.zeros((0, Qc), bool)
 
         # ---- spawn children into the fixed queue segments -----------
-        # each segment builds its 8 channel planes, stacks them into
-        # one tile-major table, and keeps only its live tiles
-        parts = []
+        # each segment builds its 8 channel planes and keeps only its
+        # live 128-lane rows; all segments' rows concatenate into one
+        # tile-major table
+        child_rows = [[] for _ in range(8)]
         stored_inv = {}
         stored_mask = {}
         stored_extra = {}
@@ -336,27 +393,39 @@ class WavefrontTracer(Tracer):
                 rox, roy, roz = ro3[:, 0], ro3[:, 1], ro3[:, 2]
                 rdx, rdy, rdz = rd3[:, 0], rd3[:, 1], rd3[:, 2]
                 rsid = jnp.full((Qc,), float(w.target_scene), dt)
-            tidx, inv, dropped, n_live = _tile_sel(mask, capt)
-            self._note_occ(overflow, f"L{level}/{key}", n_live, Tq)
-            self._count_overflow(overflow, f"L{level}/{key}", dropped,
-                                 capt >= Tq)
-            stored_inv[key] = inv
             stored_mask[key] = mask
-            tbl = _mk_table([
-                rox, roy, roz,
-                jnp.where(mask, rdx, 0.0),
-                jnp.where(mask, rdy, 0.0),
-                jnp.where(mask, rdz, 1.0),
-                jnp.where(mask, INFINITY, 0.0).astype(dt),
-                jnp.where(mask, rsid, -1.0)], Tq)
-            parts.append(_take_tiles(tbl, tidx))
+            if last:
+                # deepest level: children are never traced (their color
+                # is the transparent miss, Trace.hs:60), so the queue
+                # table, row selection, and gathers are all dead work
+                stored_inv[key] = None
+                continue
+            ridx, inv, dropped, n_live = _row_sel(mask, capt)
+            self._note_occ(overflow, f"L{level}/{key}", n_live, Rq,
+                           mask=mask)
+            self._count_overflow(overflow, f"L{level}/{key}", dropped,
+                                 capt >= Rq)
+            stored_inv[key] = inv
+            chans = [rox, roy, roz,
+                     jnp.where(mask, rdx, 0.0),
+                     jnp.where(mask, rdy, 0.0),
+                     jnp.where(mask, rdz, 1.0),
+                     jnp.where(mask, INFINITY, 0.0).astype(dt),
+                     jnp.where(mask, rsid, -1.0)]
+            for c in range(8):
+                child_rows[c].append(_take_rows(chans[c], ridx))
 
-        used = sum(capt for _, _, capt in segs)
-        if used < Qt or not parts:
-            pad = jnp.zeros((Qt - used, 8, 8, 128), dt)
-            pad = pad.at[:, 5].set(1.0).at[:, 7].set(-1.0)
-            parts.append(pad)
-        Qnext = jnp.concatenate(parts, axis=0)
+        if last:
+            Qnext = jnp.zeros((1, 8, 8, 128), dt).at[:, 5].set(1.0) \
+                .at[:, 7].set(-1.0)
+        elif not child_rows[0]:
+            child_rows = [[jnp.full((Qr, ROW),
+                                    1.0 if c == 5 else
+                                    (-1.0 if c == 7 else 0.0), dt)]
+                          for c in range(8)]
+            Qnext = _rows_to_table(child_rows, Qr)
+        else:
+            Qnext = _rows_to_table(child_rows, Qr)
 
         stored = dict(
             t=hit.t, hitmask=hit.hit, pos=hit.pos, norm=hit.norm,
@@ -375,27 +444,31 @@ class WavefrontTracer(Tracer):
         dt = stored["pos"].dtype
         L = len(lights)
         children = {}
-        # one 5-channel tile-major (Qt_child, 5, 8, 128) table per
-        # level, read back by whole-tile gathers (1-D and (N, 5)
-        # layouts measured 0.3-0.5 ms per hop, tools/PERF_BUDGET.md)
-        Qn = color_next.shape[0]
-        ct5 = jnp.stack(
-            [color_next[:, 0].reshape(Qn // TILE, 8, 128),
-             color_next[:, 1].reshape(Qn // TILE, 8, 128),
-             color_next[:, 2].reshape(Qn // TILE, 8, 128),
-             color_next[:, 3].reshape(Qn // TILE, 8, 128),
-             t_next.reshape(Qn // TILE, 8, 128)], axis=1)
-        for key, offt, capt in segs:
-            inv = stored["inv"][key]             # (Tq,) kept slot or -1
+        # five flat child-result planes viewed as (rows, 128), read
+        # back by whole-ROW gathers (per-lane and (N, 5) layouts
+        # measured 0.3-1 ms per hop, tools/PERF_BUDGET.md)
+        ct_rows = [color_next[:, 0].reshape(-1, ROW),
+                   color_next[:, 1].reshape(-1, ROW),
+                   color_next[:, 2].reshape(-1, ROW),
+                   color_next[:, 3].reshape(-1, ROW),
+                   t_next.reshape(-1, ROW)]
+        for key, offr, capr in segs:
+            inv = stored["inv"][key]             # (Rq,) kept slot or -1
             mask = stored["mask"][key]
-            rows = jnp.take(ct5, offt + jnp.maximum(inv, 0), axis=0,
-                            mode='clip')         # (Tq, 5, 8, 128)
-            has = mask & jnp.repeat(inv >= 0, TILE)
-            ccol = jnp.where(
-                has[:, None],
-                jnp.stack([rows[:, c].reshape(Qc) for c in range(4)],
-                          axis=-1), 0.0)
-            ct = jnp.where(has, rows[:, 4].reshape(Qc), INFINITY)
+            if inv is None:
+                # deepest level: every child is the transparent miss
+                ccol = C.ca_transparent((Qc,), dt)
+                ct = jnp.full((Qc,), INFINITY, dtype=dt)
+            else:
+                idx = jnp.minimum(offr + jnp.maximum(inv, 0),
+                                  ct_rows[0].shape[0] - 1)
+                rows = [jnp.take(p, idx, axis=0) for p in ct_rows]
+                has = mask & jnp.repeat(inv >= 0, ROW)
+                ccol = jnp.where(
+                    has[:, None],
+                    jnp.stack([rows[c].reshape(Qc) for c in range(4)],
+                              axis=-1), 0.0)
+                ct = jnp.where(has, rows[4].reshape(Qc), INFINITY)
             if key == "reflect":
                 children["reflect"] = ccol
             elif key.startswith("refract_"):
@@ -469,7 +542,8 @@ class WavefrontTracer(Tracer):
             segs, Qt = self._plan(Q.shape[0], level)
             Q, stored = self._down_level(arrays, Q, segs, Qt,
                                          level, lights,
-                                         lpos, lcol, lrad, overflow)
+                                         lpos, lcol, lrad, overflow,
+                                         last=(level == R - 1))
             stored_levels.append(stored)
             seg_plans.append(segs)
 
