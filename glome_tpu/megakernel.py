@@ -126,6 +126,11 @@ KWIDE = _os.environ.get("GLOME_KWIDE", "1") != "0"
 KWIDE_K = int(_os.environ.get("GLOME_KWIDE_K", "8"))
 # A/B instrumentation knobs (dev only; wrong images when set)
 _KW_NOLEAF = _os.environ.get("GLOME_KWIDE_NOLEAF", "0") == "1"
+# Negative result (round 5): dynamic-trip leaf loops (fori_loop(0, lc))
+# measured 40.8 vs 34.3 ms/frame -- the scalar bound check serializes
+# against the vector pipeline, costing far more than the ~31% padded
+# leaf tests it avoids.  Keep the fixed-width unroll.
+_KW_DYNLEAF = _os.environ.get("GLOME_KWIDE_DYNLEAF", "0") == "1"
 _KW_NOEXIT = _os.environ.get("GLOME_KWIDE_NOEXIT", "0") == "1"
 _KW_NOPUSH = _os.environ.get("GLOME_KWIDE_NOPUSH", "0") == "1"
 
@@ -1178,6 +1183,20 @@ def mega_select(plan: MegaPlan, pf, bb, o=None, d=None, seed_t=None,
             K = KWIDE_K
 
             def leaf_tests(bt, bw, ls, lc):
+                if _KW_DYNLEAF:
+                    # dynamic trip count: mean leaf fill is ~11 of 16
+                    # (accel histogram), so the fixed-width unroll
+                    # wastes ~1/3 of all leaf prim tests on padding
+                    def one(k, a):
+                        bt, bw = a
+                        p = ls + k
+                        ok = prim_ok(ph, p, rok)
+                        if shadow:
+                            ok = ok & sh_undone(bt)
+                        return prim_test(ph, ph.pf_base + p * ph.F,
+                                         pi_ref[ph.pi_base + p * 2],
+                                         ok, bt, bw)
+                    return jax.lax.fori_loop(0, lc, one, (bt, bw))
                 for k in range(BVH2_LEAF):
                     p = jnp.minimum(ls + k, ph.P - 1)
                     ok = (k < lc) & prim_ok(ph, p, rok)
