@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from .config import INFINITY, RenderConfig
-from .trace import Tracer, compact_indices, gather, scatter
+from .trace import Tracer, compact_indices, compact_ranks, scatter
 from .render import Camera, pixel_coords, primary_rays
 
 # conservative default per-pass capacity (fractions of padded pixels):
@@ -76,19 +76,30 @@ class AARenderer:
         # batches hold only EDGE pixels, whose secondary-ray occupancy
         # runs above a full frame's, so the child-queue fractions are
         # widened 1.6x (surfaced overflow counters police the rest).
-        def _scale(v, f=1.6):
+        def _scale(v, f):
             if v is None:
                 return None
             if isinstance(v, (int, float)):
                 return min(1.0, float(v) * f)
             return tuple(min(1.0, float(x) * f) for x in v)
         if (getattr(tracer, "compiled", None) is not None
-                and config.min_tiles > 8):
+                and config.min_tiles > 4):
+            # per-kind widening factors from measured AA batch
+            # occupancy (GLOME_OCC=2 on the 720x480 benchmark frame):
+            # edge batches reflect at ~0.61 of lanes' rows (frame
+            # schedule: 0.45), refract ~0.06 (0.025) and warp ~0.19
+            # (0.065) -- edges concentrate exactly where secondary
+            # rays spawn
             cfg_aa = _dc.replace(
-                config, min_tiles=8,
-                reflect_capacity=_scale(config.reflect_capacity),
-                refract_capacity=_scale(config.refract_capacity),
-                warp_capacity=_scale(config.warp_capacity))
+                config, min_tiles=4,
+                reflect_capacity=_scale(config.reflect_capacity, 1.8),
+                refract_capacity=_scale(config.refract_capacity, 2.8),
+                warp_capacity=_scale(config.warp_capacity, 4.0),
+                # shadow drops LEAK LIGHT (overflowing shadow rays
+                # count as unblocked); edge batches run well above the
+                # full frame's shadow occupancy, so AA shadows stay
+                # lossless
+                shadow_capacity=None)
             tracer = type(tracer)(tracer.compiled, cfg_aa)
         self.tracer = tracer
         self.cam = cam
@@ -97,41 +108,68 @@ class AARenderer:
 
     # -- helpers -----------------------------------------------------------
 
-    def _trace_pixels(self, arrays, xf, yf):
+    def _trace_pixels(self, arrays, xf, yf, live=None, off=0.0):
         """Trace rays for global float pixel coords; returns ((cap, 5)
-        TColors (r, g, b, a, depth), wavefront queue drops)."""
+        TColors (r, g, b, a, depth), wavefront queue drops).  `live`
+        masks dead lanes out of the trace via tmax=0 (the kernels cull
+        them for free)."""
         cfg = self.config
-        xc, yc = pixel_coords(cfg.xres, cfg.yres, xf, yf)
+        xc, yc = pixel_coords(cfg.xres, cfg.yres, xf + off, yf + off)
         o, d = primary_rays(self.cam, xc, yc)
-        res = self.tracer.trace(arrays, o, d)
+        tmax = None
+        if live is not None:
+            tmax = jnp.where(live, jnp.float32(INFINITY), 0.0)
+        res = self.tracer.trace(arrays, o, d, tmax=tmax)
         ov = (jnp.int32(0) if res.overflow is None
               else jnp.sum(res.overflow))
-        return jnp.concatenate([res.color, res.t[:, None]], axis=-1), ov
+        return (jnp.concatenate([res.color, res.t[:, None]], axis=-1),
+                ov, res.overflow)
 
-    def _masked_trace(self, arrays, img, mask, xcoord, ycoord, cap,
-                      counts, overflow, label):
+    def _masked_trace(self, arrays, img, mask, cap, off=0.0):
         """Trace where mask (Hp, Wp) is set, up to `cap` rays; scatter
-        the results into the (5, Hp, Wp) plane stack.  Requested-ray
-        counts land in `counts` (the reference cost model's 1/8..2
-        rays/px budget is asserted against them); requests beyond cap
-        are dropped, keeping the pixel's current value, and counted in
-        `overflow`."""
+        the results into the (5, Hp, Wp) plane stack.  Returns
+        (img', req, cap_drop, wf_drop, wf_drop_vector).
+
+        Pixel coords come from index ARITHMETIC, not coordinate-table
+        gathers (per-lane gathers measured ~1 ms per 128k elements).
+        Compaction runs in BEAM-MAJOR order -- (8, 65) raster patches
+        flattened block-by-block -- so a compacted 1024-lane kernel
+        tile holds edge pixels from ~2 adjacent image patches instead
+        of full-width raster rows; scattered batches were paying a
+        large BVH-frontier incoherence tax per tile."""
         Hp, Wp = mask.shape
-        flat = mask.reshape(-1)
+        n = Hp * Wp
+        BH = 8 if Hp % 8 == 0 else Hp
+        BW = 65 if Wp % 65 == 0 else Wp
+        nby, nbx = Hp // BH, Wp // BW
+
+        def to_beam(p):
+            lead = p.shape[:-2]
+            return (p.reshape(*lead, nby, BH, nbx, BW)
+                    .swapaxes(-3, -2).reshape(*lead, n))
+
+        flat = to_beam(mask)
         req = jnp.sum(flat.astype(jnp.int32))
-        counts.append((label, req))
-        overflow.append((label, jnp.maximum(req - cap, 0)))
-        idx = compact_indices(flat, cap)
-        xf = gather(xcoord.reshape(-1), idx)
-        yf = gather(ycoord.reshape(-1), idx)
-        tc, wf_ov = self._trace_pixels(arrays, xf, yf)
-        overflow.append((label + "/wf", wf_ov))
-        traced = jnp.zeros((Hp * Wp,), bool).at[idx].set(True, mode='drop')
+        cap_drop = jnp.maximum(req - cap, 0)
+        ranks = compact_ranks(flat)
+        idx = compact_indices(flat, cap, ranks=ranks)
+        live = idx < n
+        blk = idx // (BH * BW)
+        within = idx % (BH * BW)
+        xf = ((blk % nbx) * BW + within % BW).astype(jnp.float32)
+        yf = jnp.minimum((blk // nbx) * BH + within // BW,
+                         Hp - 1).astype(jnp.float32)
+        tc, wf_ov, wf_vec = self._trace_pixels(arrays, xf, yf,
+                                               live=live, off=off)
+        traced = flat & (ranks < cap)
+        imgb = to_beam(img)                       # (5, n) beam-major
         out = []
         for c in range(5):
-            pl = scatter(img[c].reshape(-1), idx, tc[:, c])
-            out.append(jnp.where(traced, pl, img[c].reshape(-1)))
-        return jnp.stack(out).reshape(5, Hp, Wp)
+            pl = scatter(imgb[c], idx, tc[:, c])
+            out.append(jnp.where(traced, pl, imgb[c]))
+        img2 = (jnp.stack(out).reshape(5, nby, nbx, BH, BW)
+                .swapaxes(2, 3).reshape(5, Hp, Wp))
+        return img2, req, cap_drop, wf_ov, wf_vec
 
     def _shift(self, img, dx, dy, okmask):
         """Neighbor read at (+dx, +dy) with out-of-tile = transparent-
@@ -159,11 +197,9 @@ class AARenderer:
             return max(1024, int(math.ceil(caps[i] * n_pix / 1024.0))
                        * 1024)
 
-        # static coordinate/mask planes (numpy constants)
+        # static mask planes (numpy constants)
         y, x = np.mgrid[0:Hp, 0:Wp]
         lx, ly = x % S, y % S
-        xcoord = jnp.asarray(x.astype(np.float32))
-        ycoord = jnp.asarray(y.astype(np.float32))
 
         def okmask(dx, dy):
             return jnp.asarray((lx + dx >= 0) & (lx + dx < S)
@@ -175,35 +211,58 @@ class AARenderer:
         overflow = []
         img = jnp.zeros((5, Hp, Wp), jnp.float32).at[4].set(INFINITY)
 
-        # pass 1: even grid, (x+y) % 4 == 0
-        m1 = jnp.asarray(even & ((x + y) % 4 == 0))
-        img = self._masked_trace(arrays, img, m1, xcoord, ycoord,
-                                 cap(0), counts, overflow, "pass1")
+        # passes 1-4 as ONE lax.scan over stacked per-pass constants:
+        # the wavefront trace inlines once instead of four times (the
+        # AA chain's compile time was dominated by 5 full-depth
+        # wavefront inlines at 5 distinct launch widths; the scan also
+        # forces one SHARED width, so the Mosaic kernels compile once).
+        # Pass 1 has no decide step: its threshold sentinel (-1)
+        # forces need = mask.
+        m1 = even & ((x + y) % 4 == 0)
+        m2 = even & ((x + y) % 4 == 2)
+        m3 = (x % 2 == 1) & (y % 2 == 1)
+        m4 = (x + y) % 2 == 1
+        masks = jnp.asarray(np.stack([m1, m2, m3, m4]))
+        offs = jnp.asarray([
+            [[-2, 0], [0, 2], [2, 0], [0, -2]],   # pass1 (forced: unused)
+            [[-2, 0], [0, 2], [2, 0], [0, -2]],   # pass2: axis +-2
+            [[-1, -1], [1, -1], [1, 1], [-1, 1]],  # pass3: diagonals
+            [[-1, 0], [0, 1], [1, 0], [0, -1]],   # pass4: axis +-1
+        ], jnp.int32)
+        ths = jnp.asarray([-1.0, th1, th2, th3], jnp.float32)
+        cap14 = max(cap(i) for i in range(4))
+        lxj = jnp.asarray(lx)
+        lyj = jnp.asarray(ly)
+        oob = jnp.zeros((5, 1, 1), jnp.float32).at[4].set(INFINITY)
 
-        def decide_pass(img, mask, offs, threshold, ci, label):
-            a, b, c, d = [self._shift(img, dx, dy, okmask(dx, dy))
-                          for dx, dy in offs]
+        def shift_dyn(img, dx, dy):
+            padimg = jnp.pad(img, ((0, 0), (2, 2), (2, 2)))
+            sh = jax.lax.dynamic_slice(padimg, (0, 2 + dy, 2 + dx),
+                                       (5, Hp, Wp))
+            ok = ((lxj + dx >= 0) & (lxj + dx < S)
+                  & (lyj + dy >= 0) & (lyj + dy < S))
+            return jnp.where(ok[None], sh, oob)
+
+        def body(img, spec):
+            mask, of, th = spec
+            a, b, c, d = [shift_dyn(img, of[i, 0], of[i, 1])
+                          for i in range(4)]
             variance = jnp.maximum(_ccmp(a, c), _ccmp(b, d))
-            need = mask & (variance > threshold)
+            need = mask & ((th < 0.0) | (variance > th))
             interp = _cavg(a, b, c, d)
             img = jnp.where((mask & ~need)[None], interp, img)
-            return self._masked_trace(arrays, img, need, xcoord, ycoord,
-                                      cap(ci), counts, overflow, label)
+            img, req, cd, wf_ov, wf_vec = self._masked_trace(
+                arrays, img, need, cap14)
+            return img, (req, cd, wf_ov, wf_vec)
 
-        # pass 2: even grid, (x+y) % 4 == 2 -- trace-or-interpolate
-        m2 = jnp.asarray(even & ((x + y) % 4 == 2))
-        img = decide_pass(img, m2, [(-2, 0), (0, 2), (2, 0), (0, -2)],
-                          th1, 1, "pass2")
-
-        # pass 3: odd diagonal pixels vs diagonal neighbors
-        m3 = jnp.asarray((x % 2 == 1) & (y % 2 == 1))
-        img = decide_pass(img, m3, [(-1, -1), (1, -1), (1, 1), (-1, 1)],
-                          th2, 2, "pass3")
-
-        # pass 4: remaining odd pixels vs axis neighbors
-        m4 = jnp.asarray((x + y) % 2 == 1)
-        img = decide_pass(img, m4, [(-1, 0), (0, 1), (1, 0), (0, -1)],
-                          th3, 3, "pass4")
+        img, (reqs, cds, wf_ovs, wf_vecs) = jax.lax.scan(
+            body, img, (masks, offs, ths))
+        for i in range(4):
+            counts.append((f"pass{i+1}", reqs[i]))
+            overflow.append((f"pass{i+1}", cds[i]))
+            overflow.append((f"pass{i+1}/wf", wf_ovs[i]))
+            if wf_vecs is not None:
+                overflow.append((f"pass{i+1}/wf_detail", wf_vecs[i]))
 
         # pass 5: supersample at pixel corners and average (Glome.hs:299-321)
         a = img
@@ -213,9 +272,13 @@ class AARenderer:
         variance = jnp.maximum(_ccmp(a, c), _ccmp(b, d))
         need = variance > th4
         corner = _cavg(a, b, c, d)
-        corner = self._masked_trace(arrays, corner, need,
-                                    xcoord + 0.5, ycoord + 0.5,
-                                    cap(4), counts, overflow, "pass5")
+        corner, req5, cd5, wf5, wfv5 = self._masked_trace(
+            arrays, corner, need, cap(4), off=0.5)
+        counts.append(("pass5", req5))
+        overflow.append(("pass5", cd5))
+        overflow.append(("pass5/wf", wf5))
+        if wfv5 is not None:
+            overflow.append(("pass5/wf_detail", wfv5))
         last = S - 1
         xe = jnp.asarray(lx == last)
         ye = jnp.asarray(ly == last)
@@ -240,5 +303,16 @@ class AARenderer:
         RenderConfig.aa_caps)."""
         rgb, depth, counts, overflow = self._jit(arrays)
         self.last_ray_counts = {k: int(v) for k, v in counts.items()}
-        self.last_overflow = {k: int(v) for k, v in overflow.items()}
+        self.last_overflow = {}
+        self.last_overflow_detail = {}
+        labels = getattr(self.tracer, "overflow_labels", [])
+        for k, v in overflow.items():
+            if k.endswith("/wf_detail"):
+                vec = np.asarray(v)
+                for lbl, n in zip(labels, vec):
+                    if int(n):
+                        self.last_overflow_detail[
+                            f"{k[:-10]}:{lbl}"] = int(n)
+            else:
+                self.last_overflow[k] = int(v)
         return rgb, depth

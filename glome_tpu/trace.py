@@ -49,12 +49,23 @@ class TraceResult(NamedTuple):
 
 # --- compaction helpers ---------------------------------------------------
 
-def compact_indices(mask, cap: int):
+def compact_ranks(mask):
+    """Rank of each element among the True entries (0-based; valid
+    only where mask)."""
+    return jnp.cumsum(mask.astype(jnp.int32)) - 1
+
+
+def compact_indices(mask, cap: int, ranks=None):
     """Indices of True entries padded to `cap` with out-of-range fill
-    (so scatters with mode='drop' ignore them)."""
+    (so scatters with mode='drop' ignore them).  Built from a cumsum +
+    one scatter: jnp.nonzero(size=cap) measured 3.65 ms per 405k
+    elements on the chip vs ~1.6 ms for this form (cumsum is ~free at
+    0.05 ms; the scatter pays ~3.8 ns/element)."""
     n = mask.shape[0]
-    (idx,) = jnp.nonzero(mask, size=cap, fill_value=n)
-    return idx
+    pos = compact_ranks(mask) if ranks is None else ranks
+    tgt = jnp.where(mask & (pos < cap), pos, cap)
+    return jnp.full((cap,), n, jnp.int32).at[tgt].set(
+        jnp.arange(n, dtype=jnp.int32), mode='drop')
 
 
 def gather(arr, idx):
