@@ -82,8 +82,12 @@ def main():
     # short chain, which cancels the fixed dispatch/transfer overhead.
     # The trip count is a DYNAMIC argument, so both chain lengths share
     # one executable and the frame body compiles exactly once.
-    @jax.jit
-    def f_chain(n, a, o_, d_, prev):
+    # The traced+lowered+compiled program is memoized on disk
+    # (glome_tpu/cache.py), so compile_s is ~2 s when the cache is
+    # warm and ~70 s cold; compile_cache in the JSON says which.
+    from glome_tpu.cache import cached_jit
+
+    def frame_chain(n, a, o_, d_, prev):
         def body(_, p):
             res = tracer.trace(a, o_ + p * 1e-4, d_)
             return jnp.mean(res.color[:, :3], axis=0)
@@ -92,15 +96,19 @@ def main():
     n_long, n_short = 12, 2
     prev0 = jnp.zeros((3,), jnp.float32)
     t0 = time.time()
-    out = f_chain(n_short, arrays, o, d, prev0)
+    f_chain, cache_state = cached_jit(
+        f"bench_frame_{cfg.xres}x{cfg.yres}", frame_chain,
+        jnp.int32(2), arrays, o, d, prev0)
+    out = f_chain(jnp.int32(n_short), arrays, o, d, prev0)
     jax.block_until_ready(out)
     compile_s = time.time() - t0
-    print(f"# compile+first chain {compile_s:.1f}s", file=sys.stderr)
+    print(f"# compile+first chain {compile_s:.1f}s"
+          f" (cache {cache_state})", file=sys.stderr)
     assert np.all(np.isfinite(np.asarray(out)))
 
     def timed(n, p0):
         t0 = time.time()
-        jax.block_until_ready(f_chain(n, arrays, o, d, p0))
+        jax.block_until_ready(f_chain(jnp.int32(n), arrays, o, d, p0))
         return time.time() - t0
 
     reps = 3
@@ -141,6 +149,7 @@ def main():
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 2),
         "compile_s": round(compile_s, 1),
+        "compile_cache": cache_state,
         **mesh_stats,
         **aa_stats,
     }))
@@ -164,8 +173,9 @@ def bench_aa(jax, compiled, tracer, cam):
     # one executable serves timing AND the per-pass ray counts: the
     # chained fori carries (mean rgb, total requested rays), light
     # positions jittered per frame so no execution repeats
-    @jax.jit
-    def f_chain(n, a, prev):
+    from glome_tpu.cache import cached_jit
+
+    def aa_chain(n, a, prev):
         def body(_, c):
             p, _ = c
             l2 = {**a["lights"], "pos": a["lights"]["pos"] + p * 1e-6}
@@ -177,7 +187,9 @@ def bench_aa(jax, compiled, tracer, cam):
     n_long, n_short = 4, 1
     prev0 = jnp.zeros((3,), jnp.float32)
     t0 = time.time()
-    out = f_chain(n_short, arrays, prev0)
+    f_chain, aa_cache = cached_jit(f"bench_aa_{xres}x{yres}", aa_chain,
+                                   jnp.int32(1), arrays, prev0)
+    out = f_chain(jnp.int32(n_short), arrays, prev0)
     jax.block_until_ready(out)
     aa_compile_s = time.time() - t0
     n_rays = int(out[1])
@@ -187,10 +199,10 @@ def bench_aa(jax, compiled, tracer, cam):
     for r in range(3):
         eps = jnp.float32(1e-5 * (r + 1))
         t0 = time.time()
-        jax.block_until_ready(f_chain(n_short, arrays, prev0 + 2 * eps))
+        jax.block_until_ready(f_chain(jnp.int32(n_short), arrays, prev0 + 2 * eps))
         t_s = time.time() - t0
         t0 = time.time()
-        jax.block_until_ready(f_chain(n_long, arrays, prev0 + eps))
+        jax.block_until_ready(f_chain(jnp.int32(n_long), arrays, prev0 + eps))
         t_l = time.time() - t0
         dts.append((t_l - t_s) / (n_long - n_short))
         print(f"# aa rep {r}: {dts[-1]*1e3:.1f} ms/frame", file=sys.stderr)
@@ -200,6 +212,7 @@ def bench_aa(jax, compiled, tracer, cam):
         "aa_rays_per_px": round(n_rays / (xres * yres), 3),
         "aa_720x480_Mrays_per_s": round(n_rays / dt / 1e6, 3),
         "aa_compile_s": round(aa_compile_s, 1),
+        "aa_compile_cache": aa_cache,
     }
 
 
@@ -230,8 +243,9 @@ def bench_mesh(jax, cast_shadows: bool = False, tag: str = ""):
     o = jax.device_put(o)
     d = jax.device_put(d)
 
-    @jax.jit
-    def f_chain(n, a, o_, d_, prev):
+    from glome_tpu.cache import cached_jit
+
+    def mesh_chain(n, a, o_, d_, prev):
         def body(_, p):
             res = tracer.trace(a, o_ + p * 1e-4, d_)
             return jnp.mean(res.color[:, :3], axis=0)
@@ -240,16 +254,21 @@ def bench_mesh(jax, cast_shadows: bool = False, tag: str = ""):
     n_long, n_short = 5, 1
     prev0 = jnp.zeros((3,), jnp.float32)
     t0 = time.time()
-    jax.block_until_ready(f_chain(n_short, arrays, o, d, prev0))
-    print(f"# mesh compile+first {time.time()-t0:.1f}s", file=sys.stderr)
+    f_chain, _st = cached_jit(f"bench_mesh{tag}", mesh_chain,
+                              jnp.int32(1), arrays, o, d, prev0)
+    jax.block_until_ready(f_chain(jnp.int32(n_short), arrays, o, d, prev0))
+    print(f"# mesh compile+first {time.time()-t0:.1f}s (cache {_st})",
+          file=sys.stderr)
     dts = []
     for r in range(2):
         eps = jnp.float32(1e-5 * (r + 1))
         t0 = time.time()
-        jax.block_until_ready(f_chain(n_short, arrays, o, d, prev0 + 2.0 * eps))
+        jax.block_until_ready(f_chain(jnp.int32(n_short), arrays, o, d,
+                                      prev0 + 2.0 * eps))
         t_s = time.time() - t0
         t0 = time.time()
-        jax.block_until_ready(f_chain(n_long, arrays, o, d, prev0 + eps))
+        jax.block_until_ready(f_chain(jnp.int32(n_long), arrays, o, d,
+                                      prev0 + eps))
         t_l = time.time() - t0
         dts.append((t_l - t_s) / (n_long - n_short))
         print(f"# mesh{tag} rep {r}: {dts[-1]*1e3:.1f} ms/frame",

@@ -119,12 +119,23 @@ def main(argv=None):
         PickSession(tracer, cam, arrays).run()
         return
 
+    # scene-identity tag for the persistent executable cache: the
+    # built-in scenes are identified by name (+ their only structural
+    # knob), NFF scenes by a digest of the file bytes
+    if args.scene in ("test", "simple"):
+        cache_tag = f"app_{args.scene}_{args.lattice_n}"
+    else:
+        import hashlib
+        with open(args.scene, "rb") as f:
+            cache_tag = "app_nff_" + hashlib.sha256(
+                f.read()).hexdigest()[:16]
+
     if args.aa:
         from glome_tpu.aa import AARenderer
         r = AARenderer(tracer, cam, cfg)
         render = lambda: r.render(arrays)
     else:
-        r = Renderer(tracer, cam, cfg)
+        r = Renderer(tracer, cam, cfg, cache_tag=cache_tag)
         render = lambda: r.render(arrays)
 
     for _ in range(args.iters):

@@ -86,12 +86,33 @@ class Renderer:
 
     def __init__(self, tracer: Tracer, cam: Camera,
                  config: Optional[RenderConfig] = None,
-                 ray_chunk: Optional[int] = None):
+                 ray_chunk: Optional[int] = None,
+                 cache_tag: Optional[str] = None):
         self.tracer = tracer
         self.cam = cam
         self.config = config or tracer.config
         self.ray_chunk = ray_chunk
-        self._render_rays_jit = jax.jit(self._render_rays)
+        # cache_tag: persist the traced+lowered render executable on
+        # disk (glome_tpu/cache.py) keyed by this scene-identity tag +
+        # config + source digest.  The caller must guarantee the tag
+        # identifies the scene STRUCTURE (e.g. "test", or a hash of
+        # the NFF source); array values stay runtime inputs.
+        self._cache_tag = cache_tag
+        if cache_tag is not None:
+            import hashlib
+            ck = hashlib.sha256(repr(self.config).encode()).hexdigest()[:8]
+            self._cache_tag = f"{cache_tag}-{ck}"
+            self._rr_cached = None
+
+            def call(arrays, o, d):
+                if self._rr_cached is None:
+                    from .cache import cached_jit
+                    self._rr_cached, _ = cached_jit(
+                        self._cache_tag, self._render_rays, arrays, o, d)
+                return self._rr_cached(arrays, o, d)
+            self._render_rays_jit = call
+        else:
+            self._render_rays_jit = jax.jit(self._render_rays)
 
     # differentiable core: rays -> premultiplied rgb + depth (+ queue
     # overflow counts; nonzero = capacity schedule truncated work)

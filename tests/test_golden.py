@@ -58,6 +58,45 @@ def test_golden_testscene_cpu():
                       f"via tools/gen_golden.py and justify in the commit")
 
 
+FAST_GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
+                           "testscene_90x60_cpu.png")
+
+
+def test_golden_testscene_cpu_fast():
+    """Default-profile TestScene golden (VERDICT r4 #9): 90x60 through
+    the full production path.  The traced+lowered executable persists
+    on disk (glome_tpu/cache.py, keyed by a digest of every source
+    file), so this runs in seconds warm; after a source change it
+    rebuilds once (~2-3 min on this box), which is exactly when the
+    image must be re-checked anyway."""
+    import jax
+    import glome_tpu as G
+    from glome_tpu.scenes import test_scene
+    from glome_tpu.config import RenderConfig
+    from glome_tpu.render import Renderer
+    from PIL import Image
+    from glome_tpu.io import quantize
+
+    assert os.path.exists(FAST_GOLDEN), \
+        "golden missing; generate with `python tools/gen_golden.py --fast`"
+    solid, lights, cam = test_scene()
+    compiled = G.compile_scene(solid, lights)
+    cfg = RenderConfig.tuned(xres=90, yres=60)
+    tracer = G.WavefrontTracer(compiled, cfg)
+    renderer = Renderer(tracer, cam, cfg, cache_tag="golden_test")
+    rgb, _depth = renderer.render(compiled.arrays())
+    ov = getattr(renderer, "last_overflow", None)
+    if ov is not None:
+        assert int(np.asarray(ov).sum()) == 0, np.asarray(ov)
+    got = quantize(np.asarray(rgb))
+    want = np.asarray(Image.open(FAST_GOLDEN))
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    bad = int((diff > 0).sum())
+    assert bad == 0, (f"{bad} channel values differ "
+                      f"(max {diff.max()}); if intentional, regenerate "
+                      f"via tools/gen_golden.py --fast and justify")
+
+
 @pytest.mark.slow
 def test_golden_testscene_tpu_drift():
     """Bound TPU-vs-CPU-golden divergence in a test (VERDICT r3 #9):

@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--ckpt", default="/tmp/glome_config5")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--lr", type=float, default=2e-2)
+    ap.add_argument("--save", default=None,
+                    help="directory for committed artifacts (json+pngs)")
     args = ap.parse_args()
 
     import jax
@@ -104,6 +106,9 @@ def main():
     print(f"# final param error: center {e1[0]:.4f} radius {e1[1]:.4f}",
           flush=True)
     out = {
+        "backend": jax.default_backend(),
+        "resolution": [args.xres, args.yres],
+        "steps": args.steps,
         "losses": res.losses,
         "start_err": e0, "final_err": e1,
         "loss_drop": (res.losses[0] / max(res.losses[-1], 1e-12)
@@ -111,6 +116,20 @@ def main():
         "recovered": bool(e1[0] < e0[0] and res.losses
                           and res.losses[-1] < res.losses[0]),
     }
+    if args.save:
+        import os
+        from glome_tpu.io import write_png
+        os.makedirs(args.save, exist_ok=True)
+        with open(os.path.join(args.save, "config5_result.json"),
+                  "w") as f:
+            json.dump(out, f, indent=1)
+        write_png(os.path.join(args.save, "config5_target.png"),
+                  np.asarray(rgb_t))
+        for tag, a in (("start", pert), ("final", res.arrays)):
+            rgb, _t = renderer.render(jax.device_put(a))
+            write_png(os.path.join(args.save, f"config5_{tag}.png"),
+                      np.asarray(rgb))
+        print(f"# artifacts -> {args.save}", flush=True)
     print(json.dumps(out))
     return 0 if out["recovered"] else 1
 

@@ -61,9 +61,31 @@ def regen_nff():
         print("wrote", out)
 
 
+def regen_fast():
+    """Regenerate the 90x60 default-profile golden
+    (tests/test_golden.py::test_golden_testscene_cpu_fast)."""
+    from glome_tpu.config import RenderConfig
+    solid, lights, cam = test_scene()
+    compiled = G.compile_scene(solid, lights)
+    cfg = RenderConfig.tuned(xres=90, yres=60)
+    tracer = G.WavefrontTracer(compiled, cfg)
+    renderer = Renderer(tracer, cam, cfg, cache_tag="golden_test")
+    rgb, _depth = renderer.render(compiled.arrays())
+    ov = getattr(renderer, "last_overflow", None)
+    if ov is not None:
+        assert int(np.asarray(ov).sum()) == 0, np.asarray(ov)
+    out = os.path.join(os.path.dirname(__file__), "..", "tests",
+                       "golden", "testscene_90x60_cpu.png")
+    write_png(out, np.asarray(rgb))
+    print("wrote", out)
+
+
 if "--aa" in sys.argv:
     regen_aa()
 elif "--nff" in sys.argv:
     regen_nff()
+elif "--fast" in sys.argv:
+    regen_fast()
 else:
     regen_main()
+    regen_fast()
