@@ -48,7 +48,7 @@ def sphere_hits2(center, radius, o, d):
     v = vdot(eo, d)
     disc = radius * radius - (vdot(eo, eo) - v * v)
     ok = disc >= 0.0
-    sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+    sq = jnp.sqrt(jnp.where(ok, jnp.maximum(disc, 1e-12), 0.0))
     t0 = jnp.where(ok, v - sq, INF)
     t1 = jnp.where(ok, v + sq, INF)
     p0 = vscaleadd(o, d, t0)
@@ -182,7 +182,7 @@ def _stable_roots(a, b, c):
     (t0, t1, has_roots) with t0 <= t1.  Degenerate a==0 handled by caller."""
     disc = b * b - 4.0 * a * c
     ok = disc >= 0.0
-    sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+    sq = jnp.sqrt(jnp.where(ok, jnp.maximum(disc, 1e-12), 0.0))
     q = jnp.where(b < 0.0, (b - sq) * -0.5, (b + sq) * -0.5)
     t0 = _safe_div(q, a)
     t1 = _safe_div(c, q)
@@ -287,7 +287,7 @@ def _cone_normal(r, clip1, clip2, height, o, d, t, is_cap):
     invhyp = 1.0 / jnp.sqrt(height * height + r * r)
     up = r * invhyp
     out = height * invhyp
-    r_ = jnp.sqrt(p[..., 0] ** 2 + p[..., 1] ** 2)
+    r_ = jnp.sqrt(jnp.maximum(p[..., 0] ** 2 + p[..., 1] ** 2, 1e-24))
     corr = _safe_div(out, r_)
     corr = jnp.where(r_ == 0.0, 0.0, corr)
     side = jnp.stack([p[..., 0] * corr, p[..., 1] * corr,

@@ -231,7 +231,8 @@ def _member_interval(sc, garrs, gi, li, o, d):
         minv = ga["m_inv"][li]
         oo = apply_point(minv, o)
         dd = apply_vector(minv, d)
-        ils = 1.0 / jnp.sqrt(jnp.sum(dd * dd, axis=-1))
+        ils = 1.0 / jnp.sqrt(jnp.maximum(jnp.sum(dd * dd, axis=-1),
+                                         1e-30))
         ou, du = oo, dd * ils[..., None]
     else:
         ou, du, ils = o, d, None
@@ -324,7 +325,8 @@ def _finalize_convex(sc, garrs, csg, o, d, t, ordinal, is_exit):
             minv = ga["m_inv"][li]
             oo = apply_point(minv, o)
             dd = apply_vector(minv, d)
-            ils = 1.0 / jnp.sqrt(jnp.sum(dd * dd, axis=-1))
+            ils = 1.0 / jnp.sqrt(jnp.maximum(jnp.sum(dd * dd, axis=-1),
+                                         1e-30))
             du = dd * ils[..., None]
             t0k, n0k, t1k, n1k = _kernel_hits2(g.ptype, params, oo, du)
             t0k = t0k * ils
@@ -409,7 +411,8 @@ def brute_scan(sc, garrs, gi, o, d, seed_t, shadow: bool, chunk: int = 256):
             minv = x["m_inv"][None]                      # (1, chunk, 3, 4)
             oo = apply_point(minv, o1)                   # (N, chunk, 3)
             dd = apply_vector(minv, d1)
-            ils = 1.0 / jnp.sqrt(jnp.sum(dd * dd, axis=-1))
+            ils = 1.0 / jnp.sqrt(jnp.maximum(jnp.sum(dd * dd, axis=-1),
+                                         1e-30))
             du = dd * ils[..., None]
             t0c, _, t1c, _ = _kernel_hits2(g.ptype, prow, oo, du)
             t0c = jnp.where(t0c >= INFINITY, INFINITY, t0c * ils)
@@ -573,7 +576,8 @@ def bvh_pass(sc, garrs, gi, o, d, seed_t, shadow: bool, tile: int = TILE):
                 minv = ga["m_inv"][local][:, None]            # (T, 1, 3, 4)
                 oo = apply_point(minv, ot)
                 dd = apply_vector(minv, dt_)
-                ils = 1.0 / jnp.sqrt(jnp.sum(dd * dd, axis=-1))
+                ils = 1.0 / jnp.sqrt(jnp.maximum(jnp.sum(dd * dd, axis=-1),
+                                         1e-30))
                 du = dd * ils[..., None]
                 t0c, _, t1c, _ = _kernel_hits2(g.ptype, prow, oo, du)
                 t0c = jnp.where(t0c >= INFINITY, INFINITY, t0c * ils)
@@ -640,16 +644,22 @@ def bvh_pass(sc, garrs, gi, o, d, seed_t, shadow: bool, tile: int = TILE):
 def _finalize_winner(sc, garrs, gi, o, d, t, local):
     """Recompute the winning candidate's normal / object ray / metadata
     for rays whose global best came from BVH group gi."""
+    from .vec import finite_grad
     g = sc.groups[gi]
     ga = garrs[gi]
     local = jnp.maximum(local, 0)
-    prow = _gather_params(ga, local)
+    # per-lane non-finite-cotangent filter at the gather boundary:
+    # singular lanes (tangency, dead rays) must not poison the
+    # cross-lane gradient accumulation into the parameter rows
+    prow = {k: finite_grad(v) for k, v in
+            _gather_params(ga, local).items()}
     transformed = g.m_inv is not None
     if transformed:
-        minv = ga["m_inv"][local]
+        minv = finite_grad(ga["m_inv"][local])
         oo = apply_point(minv, o)
         dd = apply_vector(minv, d)
-        ils = 1.0 / jnp.sqrt(jnp.sum(dd * dd, axis=-1))
+        ils = 1.0 / jnp.sqrt(jnp.maximum(jnp.sum(dd * dd, axis=-1),
+                                         1e-30))
         du = dd * ils[..., None]
         t0c, n0, t1c, n1 = _kernel_hits2(g.ptype, prow, oo, du)
         t0c = t0c * ils
@@ -856,7 +866,8 @@ def _deferred_eligible(sc, garrs, gi, o, d, seed,
             minv = ga["m_inv"][sl]
             oo = apply_point(minv[None], o[:, None, :])
             dd = apply_vector(minv[None], d[:, None, :])
-            ils = 1.0 / jnp.sqrt(jnp.sum(dd * dd, axis=-1))
+            ils = 1.0 / jnp.sqrt(jnp.maximum(jnp.sum(dd * dd, axis=-1),
+                                         1e-30))
             du = dd * ils[..., None]
             t0, _, t1, _ = _kernel_hits2(g.ptype, params, oo, du)
             t0 = jnp.where(t0 >= INFINITY, INFINITY, t0 * ils)
@@ -1139,6 +1150,13 @@ def intersect_multi_table(compiled, arrays, table) -> Hit:
     N = T * 1024
     o = jnp.stack([table[:, c].reshape(N) for c in range(3)], axis=-1)
     d = jnp.stack([table[:, c].reshape(N) for c in range(3, 6)], axis=-1)
+    # dead/fill lanes can carry d = 0 (whole-row gather fill): give
+    # them a unit direction.  Their results are discarded (tmax 0),
+    # but an unguarded zero direction meets inf-scaled cotangents in
+    # the backward pass (0 x inf = NaN), and ONE such lane poisons
+    # every accumulated scene-parameter gradient.
+    dead = jnp.sum(d * d, axis=-1) == 0.0
+    d = jnp.where(dead[:, None], jnp.asarray([0.0, 0.0, 1.0], d.dtype), d)
     tmax = table[:, 6].reshape(N)
     sid = table[:, 7].reshape(N).astype(jnp.int32)
     return intersect_multi(compiled, arrays, o, d, sid, tmax=tmax)
@@ -1153,6 +1171,13 @@ def shadow_query_table(compiled, arrays, table):
     N = T * 1024
     o = jnp.stack([table[:, c].reshape(N) for c in range(3)], axis=-1)
     d = jnp.stack([table[:, c].reshape(N) for c in range(3, 6)], axis=-1)
+    # dead/fill lanes can carry d = 0 (whole-row gather fill): give
+    # them a unit direction.  Their results are discarded (tmax 0),
+    # but an unguarded zero direction meets inf-scaled cotangents in
+    # the backward pass (0 x inf = NaN), and ONE such lane poisons
+    # every accumulated scene-parameter gradient.
+    dead = jnp.sum(d * d, axis=-1) == 0.0
+    d = jnp.where(dead[:, None], jnp.asarray([0.0, 0.0, 1.0], d.dtype), d)
     tmax = table[:, 6].reshape(N)
     sid = table[:, 7].reshape(N).astype(jnp.int32)
     return shadow_query_multi(compiled, arrays, o, d, sid,

@@ -1626,7 +1626,11 @@ def finalize(compiled, plan: MegaPlan, arrays, o, d, t, wid, aux=None,
         ptab = tabs[0] if len(tabs) == 1 else jnp.concatenate(tabs, axis=0)
         metaf = jnp.asarray(metaf_np)
         comb = jnp.concatenate([ptab, metaf.astype(dt)], axis=1)
-        crow = comb[prim]                          # (N, f_max + MW)
+        from .vec import finite_grad
+        # per-lane non-finite-cotangent filter at the gather boundary
+        # (see vec.finite_grad): singular lanes must not poison the
+        # cross-lane accumulation into parameter rows
+        crow = finite_grad(comb[prim])             # (N, f_max + MW)
         prow = crow[:, :f_max]
         meta = crow[:, f_max:].astype(jnp.int32)
     else:

@@ -43,8 +43,13 @@ def optimize(tracer: Tracer, arrays, o, d, target_rgb, *,
              checkpoint_dir: Optional[str] = None,
              checkpoint_every: int = 25,
              on_step: Optional[Callable] = None,
-             loss_fn: Optional[Callable] = None) -> OptimizeResult:
+             loss_fn: Optional[Callable] = None,
+             grad_filter: Optional[Callable] = None) -> OptimizeResult:
     """Adam-optimize every float leaf of `arrays` to match target_rgb.
+
+    grad_filter: optional grads-pytree -> grads-pytree transform
+    (e.g. zero every leaf except one group's to optimize a single
+    object's pose while the rest of the scene stays frozen).
 
     checkpoint_dir: if set, orbax-checkpoints {params, opt_state, step}
     every `checkpoint_every` steps and resumes from the latest one.
@@ -67,6 +72,8 @@ def optimize(tracer: Tracer, arrays, o, d, target_rgb, *,
             lambda g: jnp.nan_to_num(g, nan=0.0, posinf=0.0, neginf=0.0)
             if jnp.issubdtype(jnp.asarray(g).dtype, jnp.floating) else g,
             grads)
+        if grad_filter is not None:
+            grads = grad_filter(grads)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = jax.tree.map(
             lambda p, u: (p + u).astype(p.dtype)

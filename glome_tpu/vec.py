@@ -10,6 +10,7 @@ leading axes.  All functions work with both numpy and jax.numpy inputs
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .config import DELTA, INFINITY
@@ -47,13 +48,44 @@ def vlen(v):
 
 
 def vnorm(v):
-    """Normalize (reference Vec.hs:314-317)."""
-    inv = 1.0 / jnp.sqrt(vdot(v, v))
+    """Normalize (reference Vec.hs:314-317).
+
+    Guarded against zero vectors: dead queue lanes carry d = 0, and an
+    unguarded 1/sqrt(0) = inf turns their (value-masked) products into
+    NaN whose *backward cotangents* poison whole-parameter gradients
+    (sum over lanes).  max() is exact for any real magnitude, so live
+    lanes are bit-identical."""
+    inv = 1.0 / jnp.sqrt(jnp.maximum(vdot(v, v), 1e-30))
     return v * inv[..., None]
 
 
 def vinvert(v):
     return -v
+
+
+@jax.custom_vjp
+def finite_grad(x):
+    """Identity whose backward zeroes non-finite cotangent LANES.
+
+    Differentiable-render backward passes hit isolated singular lanes
+    (exact tangencies, zero-length dead rays, grazing transposes);
+    their inf/NaN cotangents are meaningless there, but one such lane
+    poisons the whole accumulated parameter gradient the moment a
+    gather-transpose sums over lanes.  Placing this at the per-lane
+    gather boundary filters BEFORE accumulation -- the per-lane
+    version of the optimizer's existing non-finite-update policy."""
+    return x
+
+
+def _finite_grad_fwd(x):
+    return x, None
+
+
+def _finite_grad_bwd(_, ct):
+    return (jnp.where(jnp.isfinite(ct), ct, 0.0),)
+
+
+finite_grad.defvjp(_finite_grad_fwd, _finite_grad_bwd)
 
 
 def vscale(v, s):

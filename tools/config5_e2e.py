@@ -33,7 +33,7 @@ def main():
     ap.add_argument("--yres", type=int, default=120)
     ap.add_argument("--ckpt", default="/tmp/glome_config5")
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--lr", type=float, default=2e-2)
+    ap.add_argument("--lr", type=float, default=5e-3)
     ap.add_argument("--save", default=None,
                     help="directory for committed artifacts (json+pngs)")
     args = ap.parse_args()
@@ -70,35 +70,102 @@ def main():
                                     ys.reshape(-1).astype(np.float32))
     target = jnp.asarray(np.asarray(rgb_t).reshape(-1, 3))
 
-    # 2. perturb a carve sphere (scene 0, group 13: the squashed refractive sphere (directly visible))
-    gi = 13
-    true_c = np.asarray(arrays_true["scenes"][0][gi]["center"])
-    true_r = np.asarray(arrays_true["scenes"][0][gi]["radius"])
+    # 2. perturb the lattice-carve sphere (scene 0, group 10 row 0:
+    # the r=3.5 difference-B sphere whose cavity cuts the visible
+    # lattice -- the group with the largest measured center gradient
+    # in the whole scene; its boundary is the soft CSG clause margin
+    # the soft tests pin).  The perturbation is IN-BASIN (~2 px at
+    # this resolution): measured on this scene, the full-frame pixel
+    # loss ripples at shadow/interreflection frequency, so at large
+    # offsets the locally-correct AD gradient (FD-validated at
+    # eps=1e-3 on both pipelines) points along ripples rather than
+    # the cross-basin secant -- silhouette-scale pose refinement is
+    # the standard differentiable-rendering regime, and it exercises
+    # the full chain (BVH selection, CSG margins, shadows, AA target).
+    gi, row = 10, 0
+    true_c = np.asarray(arrays_true["scenes"][0][gi]["center"])[row]
+    true_r = np.asarray(arrays_true["scenes"][0][gi]["radius"])[row]
     pert = dict(arrays_true)
     sc0 = list(arrays_true["scenes"][0])
     gp = dict(sc0[gi])
-    gp["center"] = gp["center"] + jnp.asarray([[0.25, -0.2, 0.15]])
-    gp["radius"] = gp["radius"] * 1.15
+    gp["center"] = jnp.asarray(gp["center"]).at[row].add(
+        jnp.asarray([0.06, -0.05, 0.04]))
+    gp["radius"] = jnp.asarray(gp["radius"]).at[row].multiply(1.04)
     sc0[gi] = gp
     pert["scenes"] = list(arrays_true["scenes"])
     pert["scenes"][0] = sc0
 
     def err(a):
-        return (float(np.abs(np.asarray(a["scenes"][0][gi]["center"])
+        return (float(np.abs(np.asarray(a["scenes"][0][gi]["center"])[row]
                              - true_c).max()),
-                float(np.abs(np.asarray(a["scenes"][0][gi]["radius"])
+                float(np.abs(np.asarray(a["scenes"][0][gi]["radius"])[row]
                              - true_r).max()))
 
     e0 = err(pert)
     print(f"# start param error: center {e0[0]:.4f} radius {e0[1]:.4f}",
           flush=True)
 
-    # 3. soft-edge optimization, orbax-checkpointed
+    # 3. soft-edge optimization, orbax-checkpointed.  Only the
+    # perturbed group's parameters train (grad_filter): the task is
+    # recovering that object's pose/size, and the AA-target-vs-soft-
+    # forward model mismatch must not leak into every other scene
+    # parameter (measured: joint optimization of all leaves absorbs
+    # the mismatch into lights/materials and diverges).
     soft = SoftTracer(tracer)
+
+    # Coarse-to-fine pixel loss: the squashed sphere refracts the
+    # lattice, so the raw pixel loss ripples at lattice frequency and
+    # plain descent walks into a local ripple instead of the
+    # 0.25-unit-away basin (measured: -grad line probes RAISE the raw
+    # loss at step scale while AD is locally correct).  Pooling both
+    # images 8x smooths the landscape to the object scale; a small
+    # fine term keeps sub-pixel convergence once near the basin.
+    H, W = args.yres, args.xres
+    k = 8
+
+    def pooled(flat):
+        im = flat.reshape(H, W, 3)
+        Hp, Wp = (H // k) * k, (W // k) * k
+        return im[:Hp, :Wp].reshape(H // k, k, W // k, k, 3).mean((1, 3))
+
+    def loss_fn(params, o_, d_, target_rgb):
+        col = soft.render(params, o_, d_)
+        rgb = col[:, :3] * col[:, 3:4]
+        coarse = jnp.mean((pooled(rgb) - pooled(target_rgb)) ** 2)
+        fine = jnp.mean((rgb - target_rgb) ** 2)
+        return coarse + 0.1 * fine
+
+    def only_group(grads):
+        import jax as _jax
+
+        def zero(g):
+            return _jax.tree.map(jnp.zeros_like, g)
+
+        def keep(gj, gp):
+            if gj != gi:
+                return zero(gp)
+            # exactly the perturbed leaves train (one row's center and
+            # radius); sibling rows and any transform stay frozen
+            out = {k: jnp.zeros_like(v) for k, v in gp.items()}
+            rm = jnp.zeros((gp["center"].shape[0],)).at[row].set(1.0)
+            out["center"] = gp["center"] * rm[:, None]
+            out["radius"] = gp["radius"] * rm
+            return out
+        out = dict(grads)
+        out["scenes"] = [
+            [keep(gj, gp) if si == 0 else zero(gp)
+             for gj, gp in enumerate(scn)]
+            for si, scn in enumerate(grads["scenes"])]
+        for k in out:
+            if k != "scenes":
+                out[k] = zero(out[k])
+        return out
+
     res = optimize(tracer, pert, jnp.asarray(o), jnp.asarray(d), target,
                    steps=args.steps, lr=args.lr,
                    checkpoint_dir=args.ckpt, checkpoint_every=8,
-                   loss_fn=soft_pixel_loss_fn(soft),
+                   loss_fn=loss_fn,
+                   grad_filter=only_group,
                    on_step=lambda i, l: print(f"# step {i}: {l:.6f}",
                                               flush=True))
 
